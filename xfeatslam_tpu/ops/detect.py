@@ -1,0 +1,111 @@
+"""Keypoint detection post-processing: softmax heatmap, NMS, top-K, descriptor
+sampling — one fixed-shape XLA graph.
+
+TPU-native re-design of the libtorch post-processing in the reference
+(/root/reference/src/XFextractor.cc:204-305): where the reference builds a
+dynamic list of NMS survivors (`nonzero` + per-batch padding, :219-248) and
+reads keypoints back one `.item<float>()` at a time (:321-343), this kernel
+keeps every shape static (dense masks + a single top-K) and returns one
+fixed-size batch of (coords, scores, descriptors, valid) so the host does a
+single device->host transfer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import image as image_ops
+
+
+def keypoint_heatmap(logits, softmax_temp: float = 1.0):
+    """(B,H8,W8,65) keypoint logits -> (B,H,W,1) full-res heatmap.
+
+    softmax over the 65 channels, drop the dustbin (65th), pixel-shuffle the
+    64 = 8x8 cells back to full resolution (reference
+    /root/reference/src/XFextractor.cc:204-217; channel k = i*8+j with i the
+    row offset, inverse of unfold2d).
+    """
+    B, H8, W8, C = logits.shape
+    scores = jax.nn.softmax(logits * softmax_temp, axis=-1)[..., :64]
+    x = scores.reshape(B, H8, W8, 8, 8)
+    x = x.transpose(0, 1, 3, 2, 4)  # (B,H8,8,W8,8)
+    return x.reshape(B, H8 * 8, W8 * 8, 1)
+
+
+def nms_mask(heatmap, threshold: float = 0.05, kernel_size: int = 5):
+    """Local-maximum mask: value equals the 5x5 max and exceeds threshold
+    (reference NMS, /root/reference/src/XFextractor.cc:219-248)."""
+    pad = kernel_size // 2
+    local_max = lax.reduce_window(
+        heatmap,
+        -jnp.inf,
+        lax.max,
+        (1, kernel_size, kernel_size, 1),
+        (1, 1, 1, 1),
+        [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+    )
+    return (heatmap == local_max) & (heatmap > threshold)
+
+
+@functools.partial(jax.jit, static_argnames=("num_keypoints",))
+def select_keypoints(feats, logits, heatmap, num_keypoints: int,
+                     threshold: float = 0.05, softmax_temp: float = 1.0):
+    """Fixed-shape keypoint selection + descriptor sampling.
+
+    Args:
+      feats: (B,H8,W8,64) dense descriptors (unnormalized network output).
+      logits: (B,H8,W8,65) keypoint logits.
+      heatmap: (B,H8,W8,1) reliability map.
+      num_keypoints: K, static.
+
+    Returns dict of:
+      kpts: (B,K,2) float (x,y) in resized-image pixels.
+      scores: (B,K) reliability*keypoint score; <=0 where invalid.
+      desc: (B,K,64) L2-normalized descriptors.
+      valid: (B,K) bool.
+
+    Pipeline parity with /root/reference/src/XFextractor.cc:269-305:
+    L2-normalize dense feats -> softmax/pixel-shuffle heatmap -> 5x5 NMS ->
+    score = nearest(K1h)*bilinear(H1) -> top-K -> bilinear descriptors ->
+    L2 normalize. (The reference then rescales coords by (rw,rh); done by
+    the caller which knows the original size.)
+    """
+    B, H8, W8, _ = feats.shape
+    H, W = H8 * 8, W8 * 8
+
+    featsn = feats * lax.rsqrt(
+        jnp.sum(feats * feats, axis=-1, keepdims=True) + 1e-12
+    )
+
+    k1h = keypoint_heatmap(logits, softmax_temp)  # (B,H,W,1)
+    mask = nms_mask(k1h, threshold)[..., 0]  # (B,H,W)
+
+    # Ranking score, replicating the sampler quirks of the reference:
+    # nearest-sample of K1h at its own integer coords equals K1h except the
+    # sampler's +x/(W-1)-0.5 shift pushes the last row/col out of bounds
+    # (score 0 there); bilinear reliability comes from upsampling H1 with the
+    # same grid mapping.
+    rel = image_ops.dense_grid_sample_bilinear(heatmap, (H, W))[..., 0]
+    k1h_nearest = k1h[..., 0]
+    # zero the last row/col to mirror grid_sample zero padding at px=W-0.5
+    k1h_nearest = k1h_nearest.at[:, -1, :].set(0.0).at[:, :, -1].set(0.0)
+    score_map = k1h_nearest * rel
+
+    neg_inf = jnp.float32(-1.0)
+    ranked = jnp.where(mask, score_map, neg_inf).reshape(B, H * W)
+    scores, idx = lax.top_k(ranked, num_keypoints)
+    xs = (idx % W).astype(jnp.float32)
+    ys = (idx // W).astype(jnp.float32)
+    kpts = jnp.stack([xs, ys], axis=-1)  # (B,K,2)
+
+    valid = scores > 0.0
+
+    desc = image_ops.sample_bilinear(featsn, kpts, (H, W))
+    desc = desc * lax.rsqrt(jnp.sum(desc * desc, axis=-1, keepdims=True) + 1e-12)
+    desc = desc * valid[..., None]
+
+    return {"kpts": kpts, "scores": scores, "desc": desc, "valid": valid}
