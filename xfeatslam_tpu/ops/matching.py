@@ -1,0 +1,177 @@
+"""Descriptor matching kernels: distance matrices, mutual-NN, projection and
+window searches — batched matmul formulations for the MXU.
+
+TPU-native replacement for ORBmatcher (/root/reference/src/ORBmatcher.cc,
+2,268 LoC of per-feature grid loops). Where the reference walks per-feature
+grid cells and BoW buckets, these kernels compute masked (M,N) score matrices
+in one shot; candidate gating (search radius, scale bands) becomes masks.
+
+Distance convention (reference ORBmatcher::DescriptorDistance,
+/root/reference/src/ORBmatcher.cc:2242-2266): XFeat mode is squared-L2 x 512
+on L2-normalized descriptors, thresholds TH_HIGH=1000, TH_LOW=100
+(:34-35). With normalized descriptors d = (2 - 2 a.b) * 512, so the whole
+matrix is one matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Reference thresholds (XFeat mode), /root/reference/src/ORBmatcher.cc:34-35
+TH_HIGH = 1000.0
+TH_LOW = 100.0
+INVALID = jnp.float32(1e9)
+
+
+def xfeat_distance_matrix(desc_a, desc_b):
+    """(N,D),(M,D) L2-normalized -> (N,M) distances = L2^2 * 512."""
+    sim = desc_a @ desc_b.T
+    return (2.0 - 2.0 * sim) * 512.0
+
+
+def _mask_dist(dist, valid_a, valid_b):
+    m = valid_a[:, None] & valid_b[None, :]
+    return jnp.where(m, dist, INVALID)
+
+
+class MatchResult(NamedTuple):
+    idx: jnp.ndarray  # (N,) best column per row (-1 if unmatched)
+    dist: jnp.ndarray  # (N,) distance of the match
+    mask: jnp.ndarray  # (N,) bool valid match
+
+
+def _best_two(dist):
+    """Row-wise best and second-best. dist (N,M) -> (best, second, argbest)."""
+    if dist.shape[1] < 2:
+        best = dist[:, 0]
+        return best, jnp.full_like(best, INVALID), jnp.zeros(dist.shape[0], jnp.int32)
+    neg = -dist
+    vals, idx = lax.top_k(neg, 2)
+    return -vals[:, 0], -vals[:, 1], idx[:, 0]
+
+
+@jax.jit
+def match_mutual_nn(desc_a, desc_b, valid_a, valid_b,
+                    max_dist: float = TH_LOW, ratio: float = 1.0):
+    """Mutual nearest-neighbor matching with optional Lowe ratio test.
+
+    The batched-offline equivalent of SearchForInitialization-style matching
+    and the XFeat paper's MNN matcher; used by the throughput benchmark
+    config (BASELINE.md config 4).
+
+    Returns MatchResult over rows of desc_a.
+    """
+    dist = _mask_dist(xfeat_distance_matrix(desc_a, desc_b), valid_a, valid_b)
+    best, second, idx = _best_two(dist)
+    # mutual check: row i's best column j must have row i as ITS best row
+    col_best_row = jnp.argmin(dist, axis=0)  # (M,)
+    mutual = col_best_row[idx] == jnp.arange(dist.shape[0])
+    ok = (best <= max_dist) & (best <= ratio * second) & mutual & valid_a
+    return MatchResult(jnp.where(ok, idx, -1), best, ok)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def search_by_projection(
+    pred_uv, mp_desc, valid_mp,
+    kpt_uv, kpt_desc, valid_kpt,
+    radius, max_dist=TH_HIGH, ratio: float = 0.9,
+    kpt_free: Optional[jnp.ndarray] = None,
+):
+    """Projection-guided matching: map points -> keypoints within a pixel
+    radius (ORBmatcher::SearchByProjection family,
+    /root/reference/src/ORBmatcher.cc:42-213,1861-2030).
+
+    Args:
+      pred_uv: (M,2) predicted pixel of each map point in the frame.
+      mp_desc: (M,D) map-point descriptors; valid_mp (M,) bool.
+      kpt_uv: (N,2) frame keypoints (undistorted); kpt_desc (N,D);
+        valid_kpt (N,) bool.
+      radius: scalar or (M,) per-point search radius in pixels (the reference
+        scales by viewing-cos and octave; XFeat is single-octave).
+      max_dist: accept threshold (TH_HIGH for tracking).
+      ratio: best/second ratio gate (mfNNratio; applied like the reference's
+        best-vs-second-best check within the window).
+      kpt_free: optional (N,) bool — keypoint not already bound to a map
+        point (reference skips those, e.g. ORBmatcher.cc:137-146).
+
+    Returns MatchResult over map points, deduplicated so each keypoint keeps
+    only its best map point (the reference dedups first-come-first-served;
+    min-distance dedup is deterministic and strictly better).
+    """
+    radius = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (pred_uv.shape[0],))
+    d_uv = pred_uv[:, None, :] - kpt_uv[None, :, :]
+    within = (jnp.abs(d_uv[..., 0]) <= radius[:, None]) & (
+        jnp.abs(d_uv[..., 1]) <= radius[:, None]
+    )
+    if kpt_free is not None:
+        within = within & kpt_free[None, :]
+    dist = _mask_dist(xfeat_distance_matrix(mp_desc, kpt_desc), valid_mp, valid_kpt)
+    dist = jnp.where(within, dist, INVALID)
+
+    best, second, idx = _best_two(dist)
+    ok = (best <= max_dist) & (best <= ratio * second) & valid_mp
+
+    # dedup: keep the best map point per keypoint (scatter-min)
+    N = kpt_uv.shape[0]
+    keyed = jnp.where(ok, best, INVALID)
+    col_min = jnp.full((N,), INVALID).at[jnp.where(ok, idx, 0)].min(keyed)
+    keep = ok & (best <= col_min[jnp.clip(idx, 0, N - 1)])
+    return MatchResult(jnp.where(keep, idx, -1), best, keep)
+
+
+@jax.jit
+def search_window(
+    kpt_uv1, desc1, valid1,
+    kpt_uv2, desc2, valid2,
+    radius: float = 100.0, max_dist: float = TH_LOW, ratio: float = 0.9,
+):
+    """Windowed matching around same pixel location, for monocular
+    initialization (ORBmatcher::SearchForInitialization,
+    /root/reference/src/ORBmatcher.cc:833-1030: window, best/second ratio,
+    mutual-consistency via reverse assignment).
+
+    Returns MatchResult over rows of frame 1.
+    """
+    d_uv = kpt_uv1[:, None, :] - kpt_uv2[None, :, :]
+    within = (jnp.abs(d_uv[..., 0]) <= radius) & (jnp.abs(d_uv[..., 1]) <= radius)
+    dist = _mask_dist(xfeat_distance_matrix(desc1, desc2), valid1, valid2)
+    dist = jnp.where(within, dist, INVALID)
+    best, second, idx = _best_two(dist)
+    ok = (best <= max_dist) & (best <= ratio * second) & valid1
+    # reverse-best dedup (reference erases earlier match when a better row
+    # claims the same column, ORBmatcher.cc:935-950)
+    N2 = kpt_uv2.shape[0]
+    keyed = jnp.where(ok, best, INVALID)
+    col_min = jnp.full((N2,), INVALID).at[jnp.where(ok, idx, 0)].min(keyed)
+    keep = ok & (best <= col_min[jnp.clip(idx, 0, N2 - 1)])
+    return MatchResult(jnp.where(keep, idx, -1), best, keep)
+
+
+@jax.jit
+def match_general(desc_a, valid_a, desc_b, valid_b,
+                  max_dist: float = TH_LOW, ratio: float = 0.75,
+                  pair_mask: Optional[jnp.ndarray] = None):
+    """General masked best-match with ratio test and column dedup.
+
+    Covers the SearchByBoW role (/root/reference/src/ORBmatcher.cc:408-560):
+    the reference restricts candidates to shared vocabulary nodes purely as a
+    speedup for CPU Hamming loops; on the MXU the full (N,M) matrix is one
+    matmul, so the node gating is unnecessary — semantics (best match +
+    ratio + dedup) are preserved. An optional pair_mask (N,M) reintroduces
+    gating when needed (e.g. epipolar constraints for triangulation).
+    """
+    dist = _mask_dist(xfeat_distance_matrix(desc_a, desc_b), valid_a, valid_b)
+    if pair_mask is not None:
+        dist = jnp.where(pair_mask, dist, INVALID)
+    best, second, idx = _best_two(dist)
+    ok = (best <= max_dist) & (best <= ratio * second) & valid_a
+    M = desc_b.shape[0]
+    keyed = jnp.where(ok, best, INVALID)
+    col_min = jnp.full((M,), INVALID).at[jnp.where(ok, idx, 0)].min(keyed)
+    keep = ok & (best <= col_min[jnp.clip(idx, 0, M - 1)])
+    return MatchResult(jnp.where(keep, idx, -1), best, keep)
