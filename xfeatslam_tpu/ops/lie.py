@@ -133,14 +133,17 @@ def so3_log(R):
     q = rotation_to_quaternion(R)
     w = q[..., 0]
     v = q[..., 1:]
-    nv = jnp.linalg.norm(v, axis=-1)
-    theta = 2.0 * jnp.arctan2(nv, w)
+    # safe norm: jnp.linalg.norm has a NaN gradient at v=0, which poisons
+    # autodiff Jacobians of zero-residual pose-graph edges
+    nv2 = jnp.sum(v * v, axis=-1)
+    small = nv2 < 1e-12
+    nv_safe = jnp.sqrt(jnp.where(small, 1.0, nv2))
+    theta = 2.0 * jnp.arctan2(jnp.where(small, 0.0, nv_safe), w)
     # phi = theta * v/|v|; small |v|: theta/|v| ~ 2/w * (1 - |v|^2/(3 w^2))
-    small = nv < 1e-6
     scale = jnp.where(
         small,
-        2.0 / jnp.clip(w, 0.5, None) * (1.0 - nv * nv / (3.0 * jnp.clip(w * w, 0.25, None))),
-        theta / jnp.where(small, 1.0, nv),
+        2.0 / jnp.clip(w, 0.5, None) * (1.0 - nv2 / (3.0 * jnp.clip(w * w, 0.25, None))),
+        theta / nv_safe,
     )
     return scale[..., None] * v
 

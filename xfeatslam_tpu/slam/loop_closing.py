@@ -1,37 +1,411 @@
-"""LoopClosing: place recognition + loop correction.
+"""LoopClosing: place recognition, Sim3 verification, loop correction.
 
-Role of /root/reference/src/LoopClosing.cc (2,539 LoC). This module is built
-out in construction-order step 8 (SURVEY.md §7); the current implementation
-provides the detection front half (retrieval + geometric verification via
-Sim3 Horn RANSAC) and records candidates. Correction (Sim3 propagation,
-essential-graph optimization, global BA) lands with optim/sim3_opt.py and
-optim/pose_graph.py.
+Role of /root/reference/src/LoopClosing.cc (2,539 LoC): per new keyframe,
+query retrieval for candidates (DetectNBestCandidates), geometric
+verification (SearchByBoW -> Sim3Solver RANSAC -> OptimizeSim3 -> guided
+reprojection, :578-897), then CorrectLoop (:969-1213): propagate the
+corrected Sim3 through the covisible group, fuse duplicate landmarks,
+optimize the essential graph, and refresh with a global bundle adjustment.
+
+Device kernels do all the heavy math (batched matching, batched Horn RANSAC,
+autodiff Sim3 LM, matrix-free pose graph + GBA); this module is the
+control flow. Consecutive-confirmation count is configurable (the reference
+requires 3 temporally-consistent detections, :396-444).
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Dict, List, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
+from ..ops import lie, matching
+from ..optim import local_ba as ba_mod
+from ..optim import pose_graph as pg
+from ..optim import sim3 as sim3_mod
 from .retrieval import Retrieval
+
+PAIR_BUCKET = 512  # padded matched-MP pairs for Sim3 verification
 
 
 class LoopClosing:
-    def __init__(self, slam_map, cam):
+    def __init__(self, slam_map, cam, bf: float = 40.0,
+                 fix_scale: bool = True, confirmations: int = 1,
+                 run_gba: bool = True):
         self.map = slam_map
         self.cam = cam
+        self.bf = bf
+        self.fix_scale = fix_scale  # RGBD/stereo: scale observable
+        self.confirmations = confirmations
+        self.run_gba = run_gba
         self.retrieval = Retrieval(dim=slam_map.desc_dim)
-        self.detected: List[tuple] = []  # (kid, candidate_kid)
+        self.detected: List[tuple] = []  # (kid, cand) raw candidates
+        self.closed: List[tuple] = []  # (kid, cand) corrected loops
+        self._consistent: Dict[int, int] = {}  # cand-group -> count
+
+    # ------------------------------------------------------------------ main
 
     def process_keyframe(self, kid: int):
         kf = self.map.keyframes.get(kid)
         if kf is None:
             return
-        # skip while the map is young (reference: <12 KFs, LoopClosing.cc:339)
-        if self.map.num_keyframes() >= 12:
-            exclude = set(self.map.covisible_kfs(kid)) | {kid}
-            cands = self.retrieval.query(kf.global_desc, exclude, top_n=3)
-            for ckid, _score in cands:
-                self.detected.append((kid, ckid))
-        self.retrieval.add(kid, kf.global_desc)
+        try:
+            if self.map.num_keyframes() >= 12:
+                exclude = set(self.map.covisible_kfs(kid)) | {kid}
+                # temporal guard: recent KFs are trivially similar even when
+                # covisibility is sparse (the reference leans on covisibility
+                # exclusion alone because tracking guarantees overlap with
+                # recent KFs; this guard covers the sparse case)
+                exclude |= {k for k in self.map.keyframes if abs(k - kid) <= 5}
+                cands = self.retrieval.query(kf.global_desc, exclude, top_n=3)
+                for ckid, _score in cands:
+                    self.detected.append((kid, ckid))
+                    ok = self._verify_and_correct(kid, ckid)
+                    if ok:
+                        break
+        finally:
+            self.retrieval.add(kid, kf.global_desc)
+
+    # ---------------------------------------------------------- verification
+
+    def _matched_pairs(self, kid: int, ckid: int):
+        """Descriptor-match the two KFs' map points; return matched slot
+        pairs (role of SearchByBoW in DetectCommonRegionsFromBoW)."""
+        kf1 = self.map.keyframes[kid]
+        kf2 = self.map.keyframes[ckid]
+        b1 = kf1.mp_ids >= 0
+        b2 = kf2.mp_ids >= 0
+        v1 = b1 & kf1.valid & self.map.points.alive[np.where(b1, kf1.mp_ids, 0)]
+        v2 = b2 & kf2.valid & self.map.points.alive[np.where(b2, kf2.mp_ids, 0)]
+        binary = self.map.desc_dim > 64
+        res = matching.match_general(
+            jnp.asarray(kf1.desc), jnp.asarray(v1),
+            jnp.asarray(kf2.desc), jnp.asarray(v2),
+            max_dist=jnp.float32(
+                matching.ORB_TH_LOW if binary else matching.TH_LOW * 6
+            ),
+            ratio=0.75, binary=binary,
+        )
+        idx = np.asarray(res.idx)
+        mask = np.asarray(res.mask)
+        mask = matching.rotation_consistency_filter(
+            kf1.angle, kf2.angle, np.clip(idx, 0, None), mask
+        )
+        slots1 = np.nonzero(mask)[0]
+        slots2 = idx[slots1]
+        return kf1, kf2, slots1, slots2
+
+    def _verify_and_correct(self, kid: int, ckid: int) -> bool:
+        kf1, kf2, slots1, slots2 = self._matched_pairs(kid, ckid)
+        if len(slots1) < 20:  # reference needs >=20 BoW matches (:691)
+            return False
+        mp1 = kf1.mp_ids[slots1]
+        mp2 = kf2.mp_ids[slots2]
+        X1w = self.map.points.pos[mp1]
+        X2w = self.map.points.pos[mp2]
+        Xc1 = X1w @ kf1.R.T + kf1.t
+        Xc2 = X2w @ kf2.R.T + kf2.t
+        uv1 = kf1.kpts_un[slots1]
+        uv2 = kf2.kpts_un[slots2]
+
+        def pad(a, fill=0.0):
+            out = np.full((PAIR_BUCKET,) + a.shape[1:], fill, a.dtype)
+            out[: min(len(a), PAIR_BUCKET)] = a[:PAIR_BUCKET]
+            return out
+
+        n = min(len(slots1), PAIR_BUCKET)
+        valid = np.zeros(PAIR_BUCKET, bool)
+        valid[:n] = True
+        res = sim3_mod.sim3_ransac(
+            jnp.asarray(pad(Xc1)), jnp.asarray(pad(Xc2)),
+            jnp.asarray(pad(uv1)), jnp.asarray(pad(uv2)),
+            jnp.asarray(valid), self.cam, jax.random.PRNGKey(kid),
+            min_inliers=15, fix_scale=self.fix_scale,
+        )
+        if not bool(res.success):
+            return False
+        s, R, t, inl, n_inl = sim3_mod.optimize_sim3(
+            res.s, res.R, res.t,
+            jnp.asarray(pad(Xc1)), jnp.asarray(pad(Xc2)),
+            jnp.asarray(pad(uv1)), jnp.asarray(pad(uv2)),
+            jnp.asarray(valid), self.cam, fix_scale=self.fix_scale,
+        )
+        if int(n_inl) < 20:  # OptimizeSim3 gate (:808)
+            return False
+        # temporal consistency (reference: 3 consecutive KFs, :396-444)
+        group = ckid
+        self._consistent[group] = self._consistent.get(group, 0) + 1
+        if self._consistent[group] < self.confirmations:
+            return False
+        self._consistent.pop(group, None)
+
+        self._correct_loop(kid, ckid, float(s), np.asarray(R), np.asarray(t))
+        self.closed.append((kid, ckid))
+        return True
+
+    # ------------------------------------------------------------ correction
+
+    def _correct_loop(self, kid: int, ckid: int, s12, R12, t12):
+        """CorrectLoop (/root/reference/src/LoopClosing.cc:969-1213).
+
+        S12 maps candidate-KF camera coords into current-KF camera coords.
+        Corrected current pose: S_1w_corr = S12 * S_2w (candidate side is
+        trusted). The covisible group of the current KF is rigidly carried
+        by the correction, their points transformed, then the essential
+        graph is optimized and (optionally) a global BA refreshes the map.
+        """
+        m = self.map
+        kf1 = m.keyframes[kid]
+        kf2 = m.keyframes[ckid]
+
+        # corrected Sim3 for the current KF (world->cam1)
+        s2, R2, t2 = 1.0, kf2.R, kf2.t
+        s_corr = s12 * s2
+        R_corr = R12 @ R2
+        t_corr = s12 * (R12 @ t2) + t12
+
+        # old (uncorrected) pose of current KF
+        R_old, t_old = kf1.R.copy(), kf1.t.copy()
+
+        # delta applied on the world side: S_corr = S_delta_applied-to-old
+        # For each covisible KF i: S_i_corr = S_i_old * S_1w_old^{-1} * S_1w_corr
+        inv = lie.sim3_inverse(jnp.float32(1.0), jnp.asarray(R_old), jnp.asarray(t_old))
+        sD, RD, tD = lie.sim3_compose(*inv, jnp.float32(s_corr),
+                                      jnp.asarray(R_corr), jnp.asarray(t_corr))
+        sD, RD, tD = float(sD), np.asarray(RD), np.asarray(tD)
+        # S_i_corr = S_i_old ∘ S_D  (S_D maps corrected-world to old-world)
+
+        group = [kid] + m.covisible_kfs(kid)
+        corrected_points = set()
+        for gk in group:
+            kf = m.keyframes.get(gk)
+            if kf is None:
+                continue
+            si, Ri, ti = lie.sim3_compose(
+                jnp.float32(1.0), jnp.asarray(kf.R), jnp.asarray(kf.t),
+                jnp.float32(sD), jnp.asarray(RD), jnp.asarray(tD),
+            )
+            si, Ri, ti = float(si), np.asarray(Ri), np.asarray(ti)
+            # correct this KF's points: X_corr = S_i_corr^{-1}( S_i_old(X) )
+            mps = kf.mp_ids[kf.mp_ids >= 0]
+            for mp in mps:
+                mp = int(mp)
+                if mp in corrected_points or not m.points.alive[mp]:
+                    continue
+                corrected_points.add(mp)
+                Xc = kf.R @ m.points.pos[mp] + kf.t
+                Xw = (Ri.T @ (Xc - ti)) / si
+                m.points.pos[mp] = Xw.astype(np.float32)
+            # corrected SE3 pose: [R | t/s] (reference :1110-1118)
+            kf.R = Ri.astype(np.float32)
+            kf.t = (ti / si).astype(np.float32)
+
+        kf1.loop_edges.add(ckid)
+        kf2.loop_edges.add(kid)
+
+        # essential-graph optimization over all KFs
+        self._optimize_essential_graph(kid, ckid, s12, R12, t12)
+        if self.run_gba:
+            self.global_bundle_adjust()
+        m.change_index += 1
+
+    def _essential_edges(self):
+        """Spanning tree + loop edges + strong covisibility (>=100)
+        (OptimizeEssentialGraph edge selection, Optimizer.cc:1559-1675)."""
+        m = self.map
+        edges = set()
+        for kid, kf in m.keyframes.items():
+            if kf.parent >= 0 and kf.parent in m.keyframes:
+                edges.add((min(kid, kf.parent), max(kid, kf.parent)))
+            for lk in kf.loop_edges:
+                if lk in m.keyframes:
+                    edges.add((min(kid, lk), max(kid, lk)))
+            for ck, w in m.covis.get(kid, {}).items():
+                if w >= 100 and ck in m.keyframes:
+                    edges.add((min(kid, ck), max(kid, ck)))
+        return sorted(edges)
+
+    def _optimize_essential_graph(self, kid: int, ckid: int, s12, R12, t12,
+                                  max_kfs: int = 256, max_edges: int = 1024):
+        m = self.map
+        kids = sorted(m.keyframes)
+        if len(kids) < 3:
+            return
+        kids = kids[:max_kfs]
+        index = {k: i for i, k in enumerate(kids)}
+        C = max_kfs
+        E = max_edges
+
+        s0 = np.ones(C, np.float32)
+        R0 = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+        t0 = np.zeros((C, 3), np.float32)
+        cam_valid = np.zeros(C, bool)
+        for k, i in index.items():
+            kf = m.keyframes[k]
+            R0[i] = kf.R
+            t0[i] = kf.t
+            cam_valid[i] = True
+        fixed = np.zeros(C, bool)
+        fixed[~cam_valid] = True
+        # fix the loop-candidate side (reference fixes the loop KF, :1537)
+        if ckid in index:
+            fixed[index[ckid]] = True
+        if m.kf_origin in index:
+            fixed[index[m.kf_origin]] = True
+
+        edges = self._essential_edges()
+        ei, ej, m_s, m_R, m_t = [], [], [], [], []
+        loop_pair = (min(kid, ckid), max(kid, ckid))
+        for (a, b) in edges[:E]:
+            if a not in index or b not in index:
+                continue
+            ka, kb = m.keyframes[a], m.keyframes[b]
+            if (a, b) == loop_pair:
+                # measured relative from the VERIFIED Sim3 (S12: cand->curr)
+                if a == ckid:  # m = S_b S_a^{-1} with (i=a, j=b)
+                    # S_kid = S12 * S_ckid  => m(a->b) = S12
+                    ms, mR, mt = s12, R12, t12
+                else:
+                    inv = lie.sim3_inverse(jnp.float32(s12), jnp.asarray(R12),
+                                           jnp.asarray(t12))
+                    ms, mR, mt = float(inv[0]), np.asarray(inv[1]), np.asarray(inv[2])
+            else:
+                # m(a->b) = S_b * S_a^{-1} from current estimates
+                inv = lie.sim3_inverse(jnp.float32(1.0), jnp.asarray(ka.R),
+                                       jnp.asarray(ka.t))
+                comp = lie.sim3_compose(jnp.float32(1.0), jnp.asarray(kb.R),
+                                        jnp.asarray(kb.t), *inv)
+                ms, mR, mt = float(comp[0]), np.asarray(comp[1]), np.asarray(comp[2])
+            ei.append(index[a])
+            ej.append(index[b])
+            m_s.append(ms)
+            m_R.append(mR)
+            m_t.append(mt)
+        n_e = len(ei)
+        if n_e < 2:
+            return
+
+        def pad(a, n, fill=0, dtype=None):
+            a = np.asarray(a, dtype)
+            out = np.full((n,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        prob = pg.PoseGraphProblem(
+            s=jnp.asarray(s0), R=jnp.asarray(R0), t=jnp.asarray(t0),
+            fixed=jnp.asarray(fixed), cam_valid=jnp.asarray(cam_valid),
+            edge_i=jnp.asarray(pad(ei, E, 0, np.int32)),
+            edge_j=jnp.asarray(pad(ej, E, 0, np.int32)),
+            m_s=jnp.asarray(pad(m_s, E, 1.0, np.float32)),
+            m_R=jnp.asarray(pad(np.stack(m_R), E) if m_R else np.tile(np.eye(3), (E, 1, 1))),
+            m_t=jnp.asarray(pad(np.stack(m_t), E)),
+            e_valid=jnp.asarray(pad(np.ones(n_e, bool), E, False)),
+        )
+        s1, R1, t1 = pg.optimize_pose_graph(prob)
+        s1, R1, t1 = np.asarray(s1), np.asarray(R1), np.asarray(t1)
+
+        # apply: KF SE3 = [R | t/s]; points via their reference KF correction
+        old_poses = {k: (m.keyframes[k].R.copy(), m.keyframes[k].t.copy())
+                     for k in index}
+        for k, i in index.items():
+            kf = m.keyframes.get(k)
+            if kf is None or fixed[i]:
+                continue
+            kf.R = R1[i].astype(np.float32)
+            kf.t = (t1[i] / max(s1[i], 1e-9)).astype(np.float32)
+        # transform points by their first-observing KF's correction
+        # (CorrectLoop/RunGBA spanning propagation role)
+        for mp, obs in list(m.obs.items()):
+            if not m.points.alive[mp] or not obs:
+                continue
+            ref_k = next(iter(obs))
+            if ref_k not in index:
+                continue
+            i = index[ref_k]
+            if fixed[i]:
+                continue
+            R_o, t_o = old_poses[ref_k]
+            Xc = R_o @ m.points.pos[mp] + t_o
+            # new world position: X = S_new^{-1}(Xc) with S_new=[s R | t]
+            Xw = (R1[i].T @ (Xc - t1[i] / max(s1[i], 1e-9)))
+            m.points.pos[mp] = Xw.astype(np.float32)
+
+    # ------------------------------------------------------------------- GBA
+
+    def global_bundle_adjust(self, max_cams: int = 64, max_pts: int = 8192,
+                             max_obs: int = 32768):
+        """GlobalBundleAdjustemnt over the whole map
+        (/root/reference/src/Optimizer.cc:52; RunGlobalBundleAdjustment
+        LoopClosing.cc:2268) using the same batched LM kernel as local BA."""
+        m = self.map
+        kids = sorted(m.keyframes)[:max_cams]
+        if len(kids) < 2:
+            return
+        index = {k: i for i, k in enumerate(kids)}
+        pt_ids = [mp for mp in m.obs if m.points.alive[mp]][:max_pts]
+        pt_index = {mp: i for i, mp in enumerate(pt_ids)}
+
+        obs_cam, obs_pt, uv, ur, stereo, obs_ref = [], [], [], [], [], []
+        for mp in pt_ids:
+            for k, slot in m.obs.get(mp, {}).items():
+                ci = index.get(k)
+                if ci is None:
+                    continue
+                kf = m.keyframes[k]
+                obs_cam.append(ci)
+                obs_pt.append(pt_index[mp])
+                uv.append(kf.kpts_un[slot])
+                r = kf.ur[slot]
+                ur.append(r if r > 0 else 0.0)
+                stereo.append(r > 0)
+                obs_ref.append((mp, k))
+                if len(obs_cam) >= max_obs:
+                    break
+            if len(obs_cam) >= max_obs:
+                break
+        n_obs = len(obs_cam)
+        if n_obs < 50:
+            return
+
+        def pad(a, n, fill=0, dtype=None):
+            a = np.asarray(a, dtype)
+            out = np.full((n,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        C = max_cams
+        fixed = np.ones(C, bool)
+        cam_valid = np.zeros(C, bool)
+        R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+        t = np.zeros((C, 3), np.float32)
+        for k, i in index.items():
+            kf = m.keyframes[k]
+            R[i] = kf.R
+            t[i] = kf.t
+            cam_valid[i] = True
+            fixed[i] = k == m.kf_origin
+        prob = ba_mod.BAProblem(
+            R=jnp.asarray(R), t=jnp.asarray(t),
+            fixed=jnp.asarray(fixed), cam_valid=jnp.asarray(cam_valid),
+            X=jnp.asarray(pad(m.points.pos[pt_ids], max_pts)),
+            p_valid=jnp.asarray(pad(np.ones(len(pt_ids), bool), max_pts, False)),
+            obs_cam=jnp.asarray(pad(obs_cam, max_obs, 0, np.int32)),
+            obs_pt=jnp.asarray(pad(obs_pt, max_obs, 0, np.int32)),
+            uv=jnp.asarray(pad(uv, max_obs, 0.0, np.float32)),
+            ur=jnp.asarray(pad(ur, max_obs, 0.0, np.float32)),
+            stereo=jnp.asarray(pad(stereo, max_obs, False)),
+            valid=jnp.asarray(pad(np.ones(n_obs, bool), max_obs, False)),
+            inv_sigma2=jnp.ones(max_obs, jnp.float32),
+        )
+        res = ba_mod.bundle_adjust(prob, self.cam, jnp.float32(self.bf),
+                                   stage_iters=(10, 10))
+        R1, t1, X1 = np.asarray(res.R), np.asarray(res.t), np.asarray(res.X)
+        for k, i in index.items():
+            if not fixed[i]:
+                kf = m.keyframes[k]
+                kf.R = R1[i]
+                kf.t = t1[i]
+        m.points.pos[pt_ids] = X1[: len(pt_ids)]
+        m.change_index += 1

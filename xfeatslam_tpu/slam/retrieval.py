@@ -46,7 +46,7 @@ class Retrieval:
             self.kids[i] = -1
 
     def query(self, gdesc: np.ndarray, exclude: Set[int],
-              top_n: int = 3, min_score: float = 0.80) -> List[Tuple[int, float]]:
+              top_n: int = 3, min_score: float = 0.30) -> List[Tuple[int, float]]:
         """Top-N most similar stored KFs (cosine), excluding the covisible
         set — the DetectNBestCandidates role
         (/root/reference/src/KeyFrameDatabase.cc:604)."""

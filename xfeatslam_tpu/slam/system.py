@@ -57,7 +57,10 @@ class System:
         profile = (matching.ORB_PROFILE if backend == "orb"
                    else matching.XFEAT_PROFILE)
         desc_dim = 256 if backend == "orb" else 64
-        self.map = SlamMap(desc_dim=desc_dim)
+        from .atlas import Atlas
+
+        self.atlas = Atlas(desc_dim=desc_dim)
+        self.map = self.atlas.active
         self.pipeline = FramePipeline(
             self.extractor, settings.cam, bf=settings.bf,
             depth_factor=settings.depth_map_factor,
@@ -65,18 +68,26 @@ class System:
         cfg = TrackerConfig(fps=settings.fps, th_depth=settings.th_depth,
                             binary=profile.binary, th_high=profile.th_high,
                             th_low=profile.th_low)
-        self.tracking = Tracking(self.pipeline, self.map, settings.cam, cfg)
         self.local_mapping = None
         self.loop_closing = None
+        if enable_loop_closing and enable_mapping:
+            from .loop_closing import LoopClosing
+
+            self.loop_closing = LoopClosing(
+                self.map, settings.cam, bf=settings.bf,
+                fix_scale=(sensor != Sensor.MONOCULAR),
+            )
+        self.tracking = Tracking(
+            self.pipeline, self.map, settings.cam, cfg,
+            sensor="mono" if sensor == Sensor.MONOCULAR else "rgbd",
+            retrieval=self.loop_closing.retrieval if self.loop_closing else None,
+            atlas=self.atlas,
+        )
         if enable_mapping:
             from .local_mapping import LocalMapping
 
             self.local_mapping = LocalMapping(self.map, settings.cam,
                                               bf=settings.bf, profile=profile)
-        if enable_loop_closing and enable_mapping:
-            from .loop_closing import LoopClosing
-
-            self.loop_closing = LoopClosing(self.map, settings.cam)
 
     def track_rgbd(self, gray: np.ndarray, depth_raw: np.ndarray,
                    timestamp: float):
@@ -85,7 +96,29 @@ class System:
         self._run_backend()
         return state, pose
 
+    def track_monocular(self, gray: np.ndarray, timestamp: float):
+        """Monocular tracking (System::TrackMonocular role)."""
+        state, pose = self.tracking.grab_mono(gray, timestamp)
+        self._run_backend()
+        return state, pose
+
+    def _sync_active_map(self):
+        """Tracking may have switched/created a map (Atlas): re-point the
+        backend workers at the active map."""
+        if self.tracking.map is not self.map:
+            self.map = self.tracking.map
+            if self.local_mapping is not None:
+                self.local_mapping.map = self.map
+                self.local_mapping.recent_points.clear()
+            if self.loop_closing is not None:
+                self.loop_closing.map = self.map
+                self.loop_closing.retrieval = type(self.loop_closing.retrieval)(
+                    dim=self.map.desc_dim
+                )
+                self.tracking.retrieval = self.loop_closing.retrieval
+
     def _run_backend(self):
+        self._sync_active_map()
         if self.local_mapping is None:
             self.tracking.new_keyframes.clear()
             return
@@ -121,6 +154,8 @@ class System:
         return {
             "keyframes": self.map.num_keyframes(),
             "map_points": self.map.num_points(),
+            "maps": len(self.atlas.maps),
             "frames": len(self.tracking.trajectory),
+            "loops_closed": len(self.loop_closing.closed) if self.loop_closing else 0,
             **self.tracking.stats,
         }

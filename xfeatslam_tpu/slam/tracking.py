@@ -69,9 +69,13 @@ class TrackerConfig:
 
 class Tracking:
     def __init__(self, pipeline: FramePipeline, slam_map: SlamMap,
-                 cam: camera_ops.Pinhole, config: TrackerConfig = None):
+                 cam: camera_ops.Pinhole, config: TrackerConfig = None,
+                 sensor: str = "rgbd", retrieval=None, atlas=None):
         self.pipeline = pipeline
         self.map = slam_map
+        self.sensor = sensor
+        self.retrieval = retrieval  # shared with LoopClosing (reloc queries)
+        self.atlas = atlas  # multi-map recovery (Atlas), optional
         self.cam = cam
         self.cfg = config or TrackerConfig()
         if self.cfg.max_frames_between_kf is None:
@@ -95,13 +99,28 @@ class Tracking:
         frame = self.pipeline.build_rgbd(gray, depth_raw, timestamp)
         return self._track(frame)
 
+    def grab_mono(self, gray, timestamp) -> Tuple[State, Optional[Tuple[np.ndarray, np.ndarray]]]:
+        frame = self.pipeline.build_mono(gray, timestamp)
+        return self._track(frame)
+
     # ------------------------------------------------------------ internals
 
     def _track(self, frame: Frame):
         if self.state in (State.NO_IMAGES, State.NOT_INITIALIZED):
             self.state = State.NOT_INITIALIZED
-            if self._initialize_rgbd(frame):
+            init = (self._initialize_rgbd(frame) if self.sensor == "rgbd"
+                    else self._initialize_mono(frame))
+            if init:
                 self.state = State.OK
+        elif self.state == State.LOST:
+            # LOST ladder (Tracking.cc:2041-2059,2298-2316): reloc into any
+            # map; else reset/new-map via Atlas
+            if self._relocalization(frame):
+                self.state = State.OK
+                self._update_velocity(frame)
+                self._store_relative_pose(frame)
+            else:
+                self._handle_lost_map(frame)
         else:
             ok = False
             if self.state == State.OK:
@@ -113,10 +132,13 @@ class Tracking:
                     if ok:
                         self.stats["refkf_ok"] += 1
             elif self.state == State.RECENTLY_LOST:
-                # dead-reckon with last velocity then try to re-track
                 ok = self._track_with_motion_model(frame)
                 if not ok:
                     ok = self._track_reference_keyframe(frame)
+                if not ok:
+                    ok = self._relocalization(frame)
+                    if ok:
+                        self.stats["reloc_ok"] = self.stats.get("reloc_ok", 0) + 1
 
             if ok:
                 ok = self._track_local_map(frame)
@@ -502,3 +524,234 @@ class Tracking:
         self.map.update_connections(kf.kid)
         self.ref_kf = kf.kid
         self.last_kf_frame_id = frame.fid
+
+    # -- monocular initialization ---------------------------------------------
+
+    def _initialize_mono(self, frame: Frame) -> bool:
+        """MonocularInitialization + CreateInitialMapMonocular
+        (/root/reference/src/Tracking.cc:2475,2553-2686): hold a reference
+        frame, window-match against it, two-view H/F RANSAC reconstruction,
+        spawn two keyframes + triangulated map points, normalize by median
+        scene depth, refine with a global BA."""
+        import jax
+
+        from ..optim import local_ba as ba_mod
+        from ..optim import two_view
+
+        if frame.n_valid <= 100:
+            self._mono_init_frame = None
+            return False
+        ref = getattr(self, "_mono_init_frame", None)
+        if ref is None or ref.n_valid <= 100:
+            self._mono_init_frame = frame
+            return False
+
+        res = matching.search_window(
+            jnp.asarray(ref.kpts_un), jnp.asarray(ref.desc), jnp.asarray(ref.valid),
+            jnp.asarray(frame.kpts_un), jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            radius=100.0,
+            max_dist=jnp.float32(self.cfg.th_low if self.cfg.binary
+                                 else self.cfg.th_low * 6),
+            ratio=0.9, binary=self.cfg.binary,
+        )
+        idx = np.asarray(res.idx)
+        mask = np.asarray(res.mask)
+        mask = matching.rotation_consistency_filter(
+            ref.angle, frame.angle, np.clip(idx, 0, None), mask
+        )
+        if mask.sum() < 100:  # reference requires >=100 matches (Tracking.cc:2523)
+            self._mono_init_frame = frame
+            return False
+
+        uv1 = np.where(mask[:, None], ref.kpts_un, 0).astype(np.float32)
+        uv2 = np.where(mask[:, None], frame.kpts_un[np.clip(idx, 0, None)], 0).astype(np.float32)
+        K = np.asarray(self.cam.K, np.float32)
+        tv = two_view.reconstruct_two_views(
+            jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(mask),
+            jnp.asarray(K), jax.random.PRNGKey(frame.fid),
+        )
+        if not bool(tv.success):
+            return False
+
+        good = np.asarray(tv.good) & mask
+        X = np.asarray(tv.points)
+        # median-depth normalization (CreateInitialMapMonocular :2653-2686)
+        med_depth = float(np.median(X[good][:, 2]))
+        if med_depth <= 0:
+            return False
+        X = X / med_depth
+        R2 = np.asarray(tv.R)
+        t2 = np.asarray(tv.t) / med_depth
+
+        ref.R = np.eye(3, dtype=np.float32)
+        ref.t = np.zeros(3, np.float32)
+        frame.R = R2.astype(np.float32)
+        frame.t = t2.astype(np.float32)
+
+        kf1 = self._make_keyframe(ref)
+        kf2 = self._make_keyframe(frame)
+        for slot1 in np.nonzero(good)[0]:
+            slot2 = int(idx[slot1])
+            mp = self.map.create_point(
+                X[slot1].astype(np.float32), ref.desc[slot1], kf1.kid,
+                float(ref.angle[slot1]),
+            )
+            self.map.add_observation(mp, kf1.kid, int(slot1), update_links=False)
+            self.map.add_observation(mp, kf2.kid, slot2, update_links=False)
+            self.map.update_point(mp)
+            frame.mp_ids[slot2] = mp
+        self.map.update_connections(kf1.kid)
+        self.map.update_connections(kf2.kid)
+        frame.inlier = frame.mp_ids >= 0
+
+        # global BA over the 2-KF map (GlobalBundleAdjustemnt(20), :2621)
+        self._initial_gba(kf1, kf2)
+        self.ref_kf = kf2.kid
+        self.last_kf_frame_id = frame.fid
+        self._mono_init_frame = None
+        return True
+
+    def _initial_gba(self, kf1, kf2):
+        from ..optim import local_ba as ba_mod
+
+        pt_ids = [int(m) for m in kf2.mp_ids[kf2.mp_ids >= 0]]
+        if len(pt_ids) < 20:
+            return
+        P = 1024
+        O = 2048
+        obs_cam, obs_pt, uv = [], [], []
+        pt_index = {mp: i for i, mp in enumerate(pt_ids[:P])}
+        for mp, i in pt_index.items():
+            for kid, slot in self.map.obs.get(mp, {}).items():
+                kf = self.map.keyframes[kid]
+                obs_cam.append(0 if kid == kf1.kid else 1)
+                obs_pt.append(i)
+                uv.append(kf.kpts_un[slot])
+        n_obs = len(obs_cam)
+
+        def pad(a, n, fill=0, dtype=None):
+            a = np.asarray(a, dtype)
+            out = np.full((n,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        prob = ba_mod.BAProblem(
+            R=jnp.asarray(np.stack([kf1.R, kf2.R] + [np.eye(3, dtype=np.float32)] * 2)),
+            t=jnp.asarray(np.stack([kf1.t, kf2.t] + [np.zeros(3, np.float32)] * 2)),
+            fixed=jnp.asarray([True, False, True, True]),
+            cam_valid=jnp.asarray([True, True, False, False]),
+            X=jnp.asarray(pad(self.map.points.pos[pt_ids[:P]], P)),
+            p_valid=jnp.asarray(pad(np.ones(len(pt_index), bool), P, False)),
+            obs_cam=jnp.asarray(pad(obs_cam, O, 0, np.int32)),
+            obs_pt=jnp.asarray(pad(obs_pt, O, 0, np.int32)),
+            uv=jnp.asarray(pad(uv, O, 0.0, np.float32)),
+            ur=jnp.zeros(O, jnp.float32),
+            stereo=jnp.zeros(O, bool),
+            valid=jnp.asarray(pad(np.ones(n_obs, bool), O, False)),
+            inv_sigma2=jnp.full(O, 1.0 / self.cfg.obs_sigma ** 2, jnp.float32),
+        )
+        res = ba_mod.bundle_adjust(prob, self.cam, jnp.float32(0.0),
+                                   stage_iters=(10, 10))
+        kf2.R = np.asarray(res.R[1])
+        kf2.t = np.asarray(res.t[1])
+        self.map.points.pos[pt_ids[:P]] = np.asarray(res.X[: len(pt_index)])
+
+    # -- relocalization -------------------------------------------------------
+
+    def _relocalization(self, frame: Frame) -> bool:
+        """Relocalization (/root/reference/src/Tracking.cc:3657-3836):
+        retrieval candidates -> descriptor matching vs candidate KF map
+        points -> PnP RANSAC -> pose optimization -> accept with enough
+        inliers. Searches the active map; with an Atlas, stored maps are
+        tried too and tracking switches into the map that relocalizes."""
+        import jax
+
+        from ..optim import pnp
+
+        maps = [self.map]
+        if self.atlas is not None:
+            maps = [self.atlas.active] + [
+                m for m in self.atlas.all_maps() if m is not self.atlas.active
+            ]
+        gdesc = frame.desc[frame.valid]
+        if len(gdesc) < 30:
+            return False
+        g = gdesc.mean(0)
+        g /= max(np.linalg.norm(g), 1e-9)
+
+        for m in maps:
+            cands = []
+            if self.retrieval is not None and m is self.map:
+                cands = [k for k, _s in self.retrieval.query(g, set(), top_n=3,
+                                                             min_score=0.5)]
+            if not cands:
+                # fallback: brute-force cosine over the map's KFs
+                kfs = list(m.keyframes.values())
+                if not kfs:
+                    continue
+                sims = [(float(k.global_desc @ g), k.kid) for k in kfs]
+                sims.sort(reverse=True)
+                cands = [kid for _s, kid in sims[:3]]
+            for kid in cands:
+                kf = m.keyframes.get(kid)
+                if kf is None:
+                    continue
+                bound = kf.mp_ids >= 0
+                valid_kf = bound & kf.valid & m.points.alive[np.where(bound, kf.mp_ids, 0)]
+                res = matching.match_general(
+                    jnp.asarray(kf.desc), jnp.asarray(valid_kf),
+                    jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                    max_dist=jnp.float32(self.cfg.refkf_max_dist), ratio=0.75,
+                    binary=self.cfg.binary,
+                )
+                idx = np.asarray(res.idx)
+                mask = np.asarray(res.mask)
+                mask = matching.rotation_consistency_filter(
+                    kf.angle, frame.angle, np.clip(idx, 0, None), mask
+                )
+                if mask.sum() < 15:
+                    continue
+                mp_ids = np.where(mask, kf.mp_ids, 0)
+                Xw = m.points.pos[mp_ids]
+                uv = frame.kpts_un[np.clip(idx, 0, None)]
+                pr = pnp.pnp_ransac(
+                    jnp.asarray(np.where(mask[:, None], Xw, 0).astype(np.float32)),
+                    jnp.asarray(np.where(mask[:, None], uv, 0).astype(np.float32)),
+                    jnp.asarray(mask), self.cam,
+                    jax.random.PRNGKey(frame.fid), min_inliers=12,
+                )
+                if not bool(pr.success):
+                    continue
+                frame.R = np.asarray(pr.R)
+                frame.t = np.asarray(pr.t)
+                frame.mp_ids[:] = -1
+                keep = mask & np.asarray(pr.inliers)
+                frame.mp_ids[idx[keep]] = kf.mp_ids[keep]
+                if self.atlas is not None and m is not self.map:
+                    self.atlas.change_map(m.map_id)
+                    self.map = m
+                inl = self._pose_optimize(frame)
+                if inl >= 20:
+                    self.ref_kf = kid
+                    self.lost_since = None
+                    return True
+        return False
+
+    def _handle_lost_map(self, frame: Frame):
+        """LOST with no reloc: small maps are reset, mature maps are frozen
+        and a new one starts (Tracking.cc:2298-2316 + CreateMapInAtlas)."""
+        if self.atlas is None:
+            # keep trying reloc forever without an atlas
+            if frame.R is None and self.last_frame is not None:
+                frame.R = self.last_frame.R.copy()
+                frame.t = self.last_frame.t.copy()
+            return
+        if self.map.num_keyframes() < 10:
+            # reset active map (System::ResetActiveMap role)
+            self.atlas.remove_map(self.map.map_id)
+        self.map = self.atlas.create_new_map()
+        self.state = State.NOT_INITIALIZED
+        self.velocity = None
+        self.ref_kf = None
+        self._mono_init_frame = None
+        self.stats["map_resets"] = self.stats.get("map_resets", 0) + 1
