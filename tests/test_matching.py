@@ -136,3 +136,36 @@ class TestWindowAndGeneral:
             ratio=0.75,
         )
         assert np.asarray(res2.mask).sum() == 10
+
+
+class TestStereoMatch:
+    def test_rectified_pair(self, rng):
+        n = 80
+        desc = make_descs(rng, n, d=64)
+        uv_l = np.stack([rng.uniform(100, 600, n), rng.uniform(10, 470, n)], -1).astype(np.float32)
+        disp_true = rng.uniform(5, 60, n).astype(np.float32)
+        uv_r = uv_l.copy()
+        uv_r[:, 0] -= disp_true
+        uv_r[:, 1] += rng.uniform(-0.5, 0.5, n)  # rectification noise
+        octv = np.zeros(n, np.int32)
+        res, disp = matching.stereo_match_rows(
+            jnp.asarray(uv_l), jnp.asarray(desc), jnp.ones(n, bool), jnp.asarray(octv),
+            jnp.asarray(uv_r), jnp.asarray(desc), jnp.ones(n, bool), jnp.asarray(octv),
+            max_dist=100.0, binary=False,
+        )
+        mask = np.asarray(res.mask)
+        assert mask.sum() == n
+        np.testing.assert_array_equal(np.asarray(res.idx)[mask], np.arange(n))
+        np.testing.assert_allclose(np.asarray(disp)[mask], disp_true, atol=1e-3)
+
+    def test_disparity_bounds(self, rng):
+        desc = make_descs(rng, 10, d=64)
+        uv_l = np.stack([np.full(10, 300.0), np.linspace(50, 400, 10)], -1).astype(np.float32)
+        uv_r = uv_l.copy()
+        uv_r[:, 0] += 5.0  # NEGATIVE disparity (behind camera) -> rejected
+        res, disp = matching.stereo_match_rows(
+            jnp.asarray(uv_l), jnp.asarray(desc), jnp.ones(10, bool), jnp.zeros(10, jnp.int32),
+            jnp.asarray(uv_r), jnp.asarray(desc), jnp.ones(10, bool), jnp.zeros(10, jnp.int32),
+            binary=False,
+        )
+        assert np.asarray(res.mask).sum() == 0

@@ -185,7 +185,15 @@ def distribute_quadtree(kpts: np.ndarray, scores: np.ndarray, n_target: int,
                         bounds: Tuple[float, float, float, float]) -> np.ndarray:
     """Quadtree balancing: split nodes until >= n_target, keep the best
     corner per node (DistributeOctTree,
-    /root/reference/src/ORBextractor.cc:555-877). Returns selected indices."""
+    /root/reference/src/ORBextractor.cc:555-877). Returns selected indices.
+
+    Uses the native C++ implementation (xfeatslam_tpu/native) when
+    available; this Python version is the fallback."""
+    from .. import native
+
+    sel = native.quadtree_select(kpts, scores, n_target, bounds)
+    if sel is not None:
+        return sel
     x0, y0, x1, y1 = bounds
     if len(kpts) <= n_target:
         return np.arange(len(kpts))

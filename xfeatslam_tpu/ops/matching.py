@@ -242,3 +242,46 @@ def rotation_consistency_filter(angles_a, angles_b, idx, mask,
     ok = np.isin(bins, list(best))
     mask[rows[~ok]] = False
     return mask
+
+
+@functools.partial(jax.jit, static_argnames=("binary",))
+def stereo_match_rows(
+    kpt_uv_l, desc_l, valid_l, octave_l,
+    kpt_uv_r, desc_r, valid_r, octave_r,
+    min_disp: float = 0.0, max_disp: float = 128.0,
+    row_band: float = 2.0, max_dist: float = ORB_TH_HIGH,
+    binary: bool = True,
+):
+    """Row-banded stereo matching for rectified pairs.
+
+    Role of Frame::ComputeStereoMatches (/root/reference/src/Frame.cc:
+    1004-1174): for each left keypoint, search right keypoints within
+    +-row_band rows (scaled by octave there) and [min_disp, max_disp]
+    disparity, accept the best descriptor distance. (The reference then
+    refines with an image-patch SAD parabola; descriptor-level matching is
+    the shape-static equivalent — subpixel refinement belongs to the
+    extractor's subpixel stage in this design.)
+
+    Returns MatchResult over left keypoints + the disparity of each match.
+    """
+    dv = kpt_uv_l[:, None, 1] - kpt_uv_r[None, :, 1]
+    disp = kpt_uv_l[:, None, 0] - kpt_uv_r[None, :, 0]
+    same_oct = octave_l[:, None] == octave_r[None, :]
+    within = (
+        (jnp.abs(dv) <= row_band)
+        & (disp >= min_disp)
+        & (disp <= max_disp)
+        & same_oct
+    )
+    dist = _mask_dist(distance_matrix(desc_l, desc_r, binary), valid_l, valid_r)
+    dist = jnp.where(within, dist, INVALID)
+    best, second, idx = _best_two(dist)
+    ok = (best <= max_dist) & valid_l
+    N2 = kpt_uv_r.shape[0]
+    keyed = jnp.where(ok, best, INVALID)
+    col_min = jnp.full((N2,), INVALID).at[jnp.where(ok, idx, 0)].min(keyed)
+    keep = ok & (best <= col_min[jnp.clip(idx, 0, N2 - 1)])
+    disparity = jnp.take_along_axis(disp, idx[:, None], axis=1)[:, 0]
+    return MatchResult(jnp.where(keep, idx, -1), best, keep), jnp.where(
+        keep, disparity, -1.0
+    )

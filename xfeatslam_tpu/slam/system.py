@@ -44,6 +44,10 @@ class System:
         if backend is None:
             backend = "orb" if os.environ.get("USE_ORB") else "xfeat"
         self.backend = backend
+        from ..utils.timing import StageTimer
+
+        self.timer = StageTimer()
+        self._mapping_paused = False
         self.settings = settings
         self.sensor = sensor
         if extractor is None:
@@ -92,14 +96,18 @@ class System:
     def track_rgbd(self, gray: np.ndarray, depth_raw: np.ndarray,
                    timestamp: float):
         """Returns (state, (R,t) world->camera or None)."""
-        state, pose = self.tracking.grab_rgbd(gray, depth_raw, timestamp)
-        self._run_backend()
+        with self.timer.span("track"):
+            state, pose = self.tracking.grab_rgbd(gray, depth_raw, timestamp)
+        with self.timer.span("backend"):
+            self._run_backend()
         return state, pose
 
     def track_monocular(self, gray: np.ndarray, timestamp: float):
         """Monocular tracking (System::TrackMonocular role)."""
-        state, pose = self.tracking.grab_mono(gray, timestamp)
-        self._run_backend()
+        with self.timer.span("track"):
+            state, pose = self.tracking.grab_mono(gray, timestamp)
+        with self.timer.span("backend"):
+            self._run_backend()
         return state, pose
 
     def _sync_active_map(self):
@@ -119,7 +127,7 @@ class System:
 
     def _run_backend(self):
         self._sync_active_map()
-        if self.local_mapping is None:
+        if self.local_mapping is None or self._mapping_paused:
             self.tracking.new_keyframes.clear()
             return
         ran = False
@@ -136,6 +144,70 @@ class System:
             # tracker's last-frame pose on its reference KF
             self.tracking.reanchor_last_frame()
 
+    def activate_localization_mode(self):
+        """Tracking-only: stop map growth (System::ActivateLocalizationMode,
+        /root/reference/src/System.cc:478; mbOnlyTracking semantics)."""
+        self._mapping_paused = True
+
+    def deactivate_localization_mode(self):
+        self._mapping_paused = False
+
+    def reset(self):
+        """System::Reset role: clear everything, restart with a fresh map."""
+        self.atlas.maps.clear()
+        self.atlas.create_new_map()
+        self.map = self.atlas.active
+        self.tracking.map = self.map
+        self.tracking.state = State.NO_IMAGES
+        self.tracking.last_frame = None
+        self.tracking.velocity = None
+        self.tracking.ref_kf = None
+        self.tracking.trajectory.clear()
+        self.tracking.new_keyframes.clear()
+        self._sync_active_map()
+
+    def save_atlas(self, path: str):
+        """Checkpoint the whole atlas (System::SaveAtlas role)."""
+        from . import serialization
+
+        serialization.save_atlas(self.atlas, path)
+
+    def load_atlas(self, path: str):
+        """Resume from a checkpoint (System::LoadAtlas role). Tracking
+        restarts in LOST state and must relocalize into the loaded map."""
+        from . import serialization
+
+        self.atlas = serialization.load_atlas(path)
+        self.map = self.atlas.active
+        self.tracking.atlas = self.atlas
+        self.tracking.map = self.map
+        self.tracking.state = State.LOST
+        self.tracking.lost_since = 0.0
+        self.tracking.velocity = None
+        self.tracking.ref_kf = None
+        self._sync_active_map()
+        # rebuild retrieval over loaded keyframes
+        if self.loop_closing is not None:
+            self.loop_closing.map = self.map
+            retr = type(self.loop_closing.retrieval)(dim=self.map.desc_dim)
+            for kid in sorted(self.map.keyframes):
+                retr.add(kid, self.map.keyframes[kid].global_desc)
+            self.loop_closing.retrieval = retr
+            self.tracking.retrieval = retr
+
+    def save_trajectory_euroc(self, path: str):
+        traj = self.tracking.trajectory
+        io_utils.save_trajectory_euroc(
+            path, [t for (t, _R, _t, _s) in traj],
+            [(R, tr) for (_t, R, tr, _s) in traj],
+        )
+
+    def save_trajectory_kitti(self, path: str):
+        traj = self.tracking.trajectory
+        io_utils.save_trajectory_kitti(
+            path, [(R, tr) for (_t, R, tr, _s) in traj]
+        )
+
     def save_trajectory_tum(self, path: str):
         traj = self.tracking.trajectory
         io_utils.save_trajectory_tum(
@@ -149,6 +221,10 @@ class System:
         io_utils.save_trajectory_tum(
             path, [k.timestamp for k in kfs], [(k.R, k.t) for k in kfs]
         )
+
+    def dump_timing(self, path: str):
+        """ExecMean.txt-style per-stage stats (REGISTER_TIMES role)."""
+        self.timer.dump(path)
 
     def shutdown(self):
         return {

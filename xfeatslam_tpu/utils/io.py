@@ -126,6 +126,31 @@ def save_trajectory_tum(path: str, timestamps, poses_cw):
             )
 
 
+def save_trajectory_euroc(path: str, timestamps, poses_cw):
+    """EuRoC format: `t_ns, tx, ty, tz, qw, qx, qy, qz` comma-separated
+    (System::SaveTrajectoryEuRoC convention, /root/reference/src/System.cc:662)."""
+    with open(path, "w") as f:
+        for t, (R, tr) in zip(timestamps, poses_cw):
+            Rwc = np.asarray(R).T
+            twc = -Rwc @ np.asarray(tr)
+            q = rotation_to_quat_xyzw(Rwc)
+            f.write(
+                f"{int(t * 1e9)},{twc[0]:.7f},{twc[1]:.7f},{twc[2]:.7f},"
+                f"{q[3]:.7f},{q[0]:.7f},{q[1]:.7f},{q[2]:.7f}\n"
+            )
+
+
+def save_trajectory_kitti(path: str, poses_cw):
+    """KITTI format: 12 numbers per line, row-major [R_wc | t_wc]
+    (System::SaveTrajectoryKITTI, /root/reference/src/System.cc:1206)."""
+    with open(path, "w") as f:
+        for (R, tr) in poses_cw:
+            Rwc = np.asarray(R).T
+            twc = -Rwc @ np.asarray(tr)
+            row = np.concatenate([Rwc, twc[:, None]], axis=1).reshape(-1)
+            f.write(" ".join(f"{v:.6e}" for v in row) + "\n")
+
+
 def load_trajectory_tum(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """-> (timestamps (N,), poses (N,7) [tx ty tz qx qy qz qw])."""
     ts, rows = [], []
@@ -166,3 +191,34 @@ def ate_rmse(gt_t: np.ndarray, gt_xyz: np.ndarray, est_t: np.ndarray,
         e = (R @ ec.T).T + mu_g
         g = gc + mu_g
     return float(np.sqrt(np.mean(np.sum((g - e) ** 2, axis=1))))
+
+
+def load_kitti_mono(root: str):
+    """KITTI odometry grayscale sequence dir: image_0/*.png + times.txt
+    (mono_kitti.cc LoadImages, /root/reference/examples/Monocular/
+    mono_kitti.cc:50)."""
+    import glob
+
+    with open(os.path.join(root, "times.txt")) as f:
+        ts = [float(x) for x in f.read().split()]
+    paths = sorted(glob.glob(os.path.join(root, "image_0", "*.png")))
+    return ts[: len(paths)], paths
+
+
+def load_euroc_mono(root: str, timestamp_file: Optional[str] = None):
+    """EuRoC mav0/cam0/data + timestamp list (mono_euroc.cc:83)."""
+    data_dir = os.path.join(root, "mav0", "cam0", "data")
+    if timestamp_file:
+        with open(timestamp_file) as f:
+            stamps = [line.strip() for line in f
+                      if line.strip() and not line.startswith("#")]
+    else:
+        stamps = sorted(os.path.splitext(p)[0] for p in os.listdir(data_dir))
+    ts = [float(s) / 1e9 for s in stamps]
+    paths = [os.path.join(data_dir, s + ".png") for s in stamps]
+    return ts, paths
+
+
+def load_tum_vi_mono(root: str, timestamp_file: Optional[str] = None):
+    """TUM-VI mav0/cam0/data layout (mono_tum_vi.cc:92)."""
+    return load_euroc_mono(root, timestamp_file)
