@@ -136,3 +136,70 @@ class TestLoopClosing:
         for kid in sorted(m.keyframes):
             lc.process_keyframe(kid)
         assert len(lc.closed) == 0
+
+
+class TestMapMerge:
+    def test_merge_two_maps(self, rng):
+        """Two maps of the same scene in different world frames (tracking
+        loss split); a cross-map candidate must weld them (MergeLocal role,
+        /root/reference/src/LoopClosing.cc:1215)."""
+        from xfeatslam_tpu.slam.atlas import Atlas
+        from xfeatslam_tpu.ops import lie as lie_ops
+        import jax.numpy as jnp
+
+        # split: KFs 0-5 -> map A (old); KFs 6-9 -> map B (new), with map B
+        # expressed in a DIFFERENT world frame (SE3-offset). The two maps
+        # must view the SAME scene -> same seed for both builds.
+        atlas = Atlas(desc_dim=64)
+        atlas.maps.clear()
+        mA, gt, _ = build_loop_map(np.random.default_rng(7), n_kf=14,
+                                   drift_per_kf=0.0)
+        for kid in range(7, 14):
+            mA.remove_keyframe(kid)
+        mA.map_id = 0
+        atlas.maps[0] = mA
+
+        mB, _, _ = build_loop_map(np.random.default_rng(7), n_kf=14,
+                                  drift_per_kf=0.0)
+        for kid in range(0, 7):
+            mB.remove_keyframe(kid)
+        # offset map B's world frame by a known SE3
+        xi = np.array([0.4, -0.2, 0.3, 0.1, 0.2, -0.15], np.float32)
+        dR, dt = lie_ops.se3_exp(jnp.asarray(xi))
+        dR, dt = np.asarray(dR), np.asarray(dt)
+        # world_B = T(world_A): poses S_kf_B = S_kf_A ∘ T^{-1};
+        # points X_B = T(X_A)
+        for kf in mB.keyframes.values():
+            # Tcw' = Tcw ∘ T^{-1}: R' = R dR^T, t' = t - R dR^T dt
+            kf.R = (kf.R @ dR.T).astype(np.float32)
+            kf.t = (kf.t - kf.R @ dt).astype(np.float32)
+        for mp in list(mB.obs.keys()):
+            if mB.points.alive[mp]:
+                mB.points.pos[mp] = (dR @ mB.points.pos[mp] + dt).astype(np.float32)
+        mB.map_id = 1
+        atlas.maps[1] = mB
+        atlas.active_id = 1
+
+        lc = LoopClosing(mB, CAM, fix_scale=False, confirmations=1,
+                         run_gba=False, atlas=atlas)
+        # preload map A's KFs into the atlas-wide retrieval
+        for kid in sorted(mA.keyframes):
+            lc.retrieval.add(kid, mA.keyframes[kid].global_desc, map_id=0)
+        # feed map B's KFs; KF 9 overlaps KF 0's region (circle wraps)
+        for kid in sorted(mB.keyframes):
+            lc.process_keyframe(kid)
+
+        assert len(lc.merged) == 1, lc.merged
+        assert atlas.active_id == 0
+        merged = atlas.maps[0]
+        assert 1 not in atlas.maps
+        assert merged.num_keyframes() == 14
+        # welded poses must agree with ground truth (map A's frame == gt):
+        # every keyframe's camera center must be near SOME gt center
+        errs = []
+        gt_centers = np.stack([-R.T @ t for (R, t) in gt])
+        for kf in merged.keyframes.values():
+            c = kf.center()
+            d = np.linalg.norm(gt_centers - c, axis=-1).min()
+            errs.append(d)
+        assert max(errs) < 0.05, errs

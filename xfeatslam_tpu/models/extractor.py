@@ -62,20 +62,39 @@ class XFeatExtractor:
         seed: int = 0,
     ):
         if params is None:
+            if weights_path is None:
+                weights_path = self._default_weights()
             if weights_path is not None:
-                if weights_path.endswith(".npz"):
-                    from . import weights as w
+                from . import weights as w
 
+                if weights_path.endswith(".npz"):
                     params = w.load_npz(weights_path)
                 else:
-                    from . import weights as w
-
                     params = w.load_torch(weights_path)
             else:
                 params = xfeat.init_params(jax.random.PRNGKey(seed))
         self.params = params
         self.nfeatures = nfeatures
         self.compute_dtype = compute_dtype
+
+    @staticmethod
+    def _default_weights():
+        """Weight resolution order: $XFEATSLAM_WEIGHTS, then repo-level
+        weights/xfeat_synthetic.npz (tools/train_xfeat.py output), then
+        weights/xfeat.pt (the reference's checkpoint name,
+        /root/reference/src/XFextractor.cc:133). None -> analytic init."""
+        import os
+
+        env = os.environ.get("XFEATSLAM_WEIGHTS")
+        if env and os.path.exists(env):
+            return env
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        for name in ("weights/xfeat_synthetic.npz", "weights/xfeat.pt"):
+            p = os.path.join(repo, name)
+            if os.path.exists(p):
+                return p
+        return None
 
     def __call__(self, images):
         """images: uint8/float (H,W), (H,W,C), or (B,H,W,C) -> numpy dict."""

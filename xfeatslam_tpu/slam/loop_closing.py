@@ -33,16 +33,18 @@ PAIR_BUCKET = 512  # padded matched-MP pairs for Sim3 verification
 class LoopClosing:
     def __init__(self, slam_map, cam, bf: float = 40.0,
                  fix_scale: bool = True, confirmations: int = 1,
-                 run_gba: bool = True):
+                 run_gba: bool = True, atlas=None):
         self.map = slam_map
         self.cam = cam
         self.bf = bf
         self.fix_scale = fix_scale  # RGBD/stereo: scale observable
         self.confirmations = confirmations
         self.run_gba = run_gba
+        self.atlas = atlas  # enables cross-map candidates -> map merging
         self.retrieval = Retrieval(dim=slam_map.desc_dim)
         self.detected: List[tuple] = []  # (kid, cand) raw candidates
         self.closed: List[tuple] = []  # (kid, cand) corrected loops
+        self.merged: List[tuple] = []  # (new_map_id, old_map_id)
         self._consistent: Dict[int, int] = {}  # cand-group -> count
 
     # ------------------------------------------------------------------ main
@@ -52,21 +54,31 @@ class LoopClosing:
         if kf is None:
             return
         try:
-            if self.map.num_keyframes() >= 12:
+            if self.map.num_keyframes() >= 12 or (
+                self.atlas is not None and len(self.atlas.maps) > 1
+            ):
                 exclude = set(self.map.covisible_kfs(kid)) | {kid}
                 # temporal guard: recent KFs are trivially similar even when
                 # covisibility is sparse (the reference leans on covisibility
                 # exclusion alone because tracking guarantees overlap with
                 # recent KFs; this guard covers the sparse case)
                 exclude |= {k for k in self.map.keyframes if abs(k - kid) <= 5}
-                cands = self.retrieval.query(kf.global_desc, exclude, top_n=3)
-                for ckid, _score in cands:
-                    self.detected.append((kid, ckid))
-                    ok = self._verify_and_correct(kid, ckid)
-                    if ok:
-                        break
+                cands = self.retrieval.query(
+                    kf.global_desc, exclude, top_n=3, with_map=True,
+                    exclude_map_id=self.map.map_id,
+                )
+                for ckid, cmap, _score in cands:
+                    if cmap == self.map.map_id:
+                        if self.map.num_keyframes() < 12:
+                            continue
+                        self.detected.append((kid, ckid))
+                        if self._verify_and_correct(kid, ckid):
+                            break
+                    elif self.atlas is not None and cmap in self.atlas.maps:
+                        if self._verify_and_merge(kid, ckid, cmap):
+                            break
         finally:
-            self.retrieval.add(kid, kf.global_desc)
+            self.retrieval.add(kid, kf.global_desc, self.map.map_id)
 
     # ---------------------------------------------------------- verification
 
@@ -409,3 +421,205 @@ class LoopClosing:
                 kf.t = t1[i]
         m.points.pos[pt_ids] = X1[: len(pt_ids)]
         m.change_index += 1
+
+    # ---------------------------------------------------------- map merging
+
+    def _verify_and_merge(self, kid: int, ckid: int, cmap_id: int) -> bool:
+        """Cross-map candidate: verify a Sim3 between the active map's KF and
+        a stored map's KF, then weld the maps (MergeLocal role,
+        /root/reference/src/LoopClosing.cc:1215-1782)."""
+        m_new = self.map
+        m_old = self.atlas.maps[cmap_id]
+        kf1 = m_new.keyframes.get(kid)
+        kf2 = m_old.keyframes.get(ckid)
+        if kf1 is None or kf2 is None:
+            return False
+
+        b1 = kf1.mp_ids >= 0
+        b2 = kf2.mp_ids >= 0
+        v1 = b1 & kf1.valid & m_new.points.alive[np.where(b1, kf1.mp_ids, 0)]
+        v2 = b2 & kf2.valid & m_old.points.alive[np.where(b2, kf2.mp_ids, 0)]
+        binary = m_new.desc_dim > 64
+        res = matching.match_general(
+            jnp.asarray(kf1.desc), jnp.asarray(v1),
+            jnp.asarray(kf2.desc), jnp.asarray(v2),
+            max_dist=jnp.float32(
+                matching.ORB_TH_LOW if binary else matching.TH_LOW * 6
+            ),
+            ratio=0.75, binary=binary,
+        )
+        idx = np.asarray(res.idx)
+        mask = np.asarray(res.mask)
+        mask = matching.rotation_consistency_filter(
+            kf1.angle, kf2.angle, np.clip(idx, 0, None), mask
+        )
+        slots1 = np.nonzero(mask)[0]
+        slots2 = idx[slots1]
+        if len(slots1) < 20:
+            return False
+        Xc1 = m_new.points.pos[kf1.mp_ids[slots1]] @ kf1.R.T + kf1.t
+        Xc2 = m_old.points.pos[kf2.mp_ids[slots2]] @ kf2.R.T + kf2.t
+        uv1 = kf1.kpts_un[slots1]
+        uv2 = kf2.kpts_un[slots2]
+
+        def pad(a, fill=0.0):
+            out = np.full((PAIR_BUCKET,) + a.shape[1:], fill, a.dtype)
+            out[: min(len(a), PAIR_BUCKET)] = a[:PAIR_BUCKET]
+            return out
+
+        n = min(len(slots1), PAIR_BUCKET)
+        valid = np.zeros(PAIR_BUCKET, bool)
+        valid[:n] = True
+        rs = sim3_mod.sim3_ransac(
+            jnp.asarray(pad(Xc1)), jnp.asarray(pad(Xc2)),
+            jnp.asarray(pad(uv1)), jnp.asarray(pad(uv2)),
+            jnp.asarray(valid), self.cam, jax.random.PRNGKey(kid + 7777),
+            min_inliers=15, fix_scale=self.fix_scale,
+        )
+        if not bool(rs.success):
+            return False
+        s, R, t, inl, n_inl = sim3_mod.optimize_sim3(
+            rs.s, rs.R, rs.t,
+            jnp.asarray(pad(Xc1)), jnp.asarray(pad(Xc2)),
+            jnp.asarray(pad(uv1)), jnp.asarray(pad(uv2)),
+            jnp.asarray(valid), self.cam, fix_scale=self.fix_scale,
+        )
+        if int(n_inl) < 20:
+            return False
+        self.merge_maps(m_new, m_old, kid, ckid,
+                        float(s), np.asarray(R), np.asarray(t))
+        return True
+
+    def merge_maps(self, m_new, m_old, kid, ckid, s12, R12, t12):
+        """Weld the active (new) map into the matched (old) map: express all
+        new-map geometry in the old map's world frame via the verified Sim3,
+        move keyframes/points over (id-shifted), fuse the welding-region
+        duplicates, then a welding BA (MergeLocal semantics — the old map
+        becomes the active map).
+
+        Derivation: X_cam_kid = S12(X_cam_ckid) and X_cam_kid = S_kid(X_w_new)
+        => X_w_new = S_kid^{-1} S12 S_ckid (X_w_old) =: D(X_w_old), so
+        new-map content re-expressed in world_old uses D: poses S' = S ∘ D,
+        points X_old = D^{-1}(X_new).
+        """
+        kf1 = m_new.keyframes[kid]
+        kf2 = m_old.keyframes[ckid]
+        inv1 = lie.sim3_inverse(jnp.float32(1.0), jnp.asarray(kf1.R),
+                                jnp.asarray(kf1.t))
+        mid = lie.sim3_compose(*inv1, jnp.float32(s12), jnp.asarray(R12),
+                               jnp.asarray(t12))
+        sD, RD, tD = lie.sim3_compose(*mid, jnp.float32(1.0),
+                                      jnp.asarray(kf2.R), jnp.asarray(kf2.t))
+        sD, RD, tD = float(sD), np.asarray(RD), np.asarray(tD)
+        sDi, RDi, tDi = lie.sim3_inverse(jnp.float32(sD), jnp.asarray(RD),
+                                         jnp.asarray(tD))
+        sDi, RDi, tDi = float(sDi), np.asarray(RDi), np.asarray(tDi)
+
+        kid_offset = (max(m_old.keyframes) + 1) if m_old.keyframes else 0
+        mp_remap = {}
+        # move points: X_old_world = D^{-1}(X_new_world)
+        for mp in list(m_new.obs.keys()):
+            if not m_new.points.alive[mp]:
+                continue
+            Xn = m_new.points.pos[mp]
+            Xo = sDi * (RDi @ Xn) + tDi
+            new_id = m_old.points.alloc(
+                Xo.astype(np.float32), m_new.points.desc[mp],
+                first_kf=-1, angle=float(m_new.points.angle[mp]),
+            )
+            m_old.obs[new_id] = {}
+            mp_remap[mp] = new_id
+        # move keyframes: pose S' = S_kf ∘ D, stored as SE3 [R | t/s]
+        for okid in sorted(m_new.keyframes):
+            kf = m_new.keyframes[okid]
+            sP, RP, tP = lie.sim3_compose(
+                jnp.float32(1.0), jnp.asarray(kf.R), jnp.asarray(kf.t),
+                jnp.float32(sD), jnp.asarray(RD), jnp.asarray(tD),
+            )
+            sP, RP, tP = float(sP), np.asarray(RP), np.asarray(tP)
+            kf.R = RP.astype(np.float32)
+            kf.t = (tP / max(sP, 1e-9)).astype(np.float32)
+            kf.kid = okid + kid_offset
+            kf.mp_ids = np.array(
+                [mp_remap.get(int(m), -1) if m >= 0 else -1 for m in kf.mp_ids],
+                np.int64,
+            )
+            kf.parent = kf.parent + kid_offset if kf.parent >= 0 else -1
+            kf.children = {c + kid_offset for c in kf.children}
+            m_old.keyframes[kf.kid] = kf
+            m_old.covis.setdefault(kf.kid, {})
+            for slot in np.nonzero(kf.mp_ids >= 0)[0]:
+                m_old.obs.setdefault(int(kf.mp_ids[slot]), {})[kf.kid] = int(slot)
+        # link the welding pair in the spanning structure
+        new_kid = kid + kid_offset
+        m_old.keyframes[new_kid].loop_edges.add(ckid)
+        kf2.merge_edges.add(new_kid)
+        for okid in sorted(m_new.keyframes):
+            m_old.update_connections(okid + kid_offset)
+            mp_list = m_old.keyframes[okid + kid_offset].mp_ids
+            for mp in mp_list[mp_list >= 0]:
+                m_old.update_point(int(mp))
+        # retrieval: re-tag moved KFs to the old map with their new ids
+        for i in range(self.retrieval.n):
+            if int(self.retrieval.map_ids[i]) == m_new.map_id:
+                self.retrieval.map_ids[i] = m_old.map_id
+                self.retrieval.kids[i] = int(self.retrieval.kids[i]) + kid_offset
+
+        # fuse duplicate landmarks around the weld (SearchAndFuse role)
+        self.map = m_old
+        self._fuse_weld(new_kid, ckid)
+        if self.run_gba:
+            self.global_bundle_adjust()
+        # atlas: old map becomes active; new map dissolves
+        self.atlas.maps.pop(m_new.map_id, None)
+        self.atlas.active_id = m_old.map_id
+        self.merged.append((m_new.map_id, m_old.map_id))
+        m_old.change_index += 1
+        return kid_offset
+
+    def _fuse_weld(self, kid: int, ckid: int):
+        """Merge duplicate landmarks between the welded regions by projecting
+        the old-side points into the moved keyframe and matching."""
+        m = self.map
+        kf1 = m.keyframes[kid]
+        cand_mps = []
+        for k in [ckid] + m.covisible_kfs(ckid, 10):
+            kf = m.keyframes.get(k)
+            if kf is None:
+                continue
+            cand_mps.extend(int(x) for x in kf.mp_ids[kf.mp_ids >= 0])
+        cand_mps = list(dict.fromkeys(cand_mps))[:2048]
+        if not cand_mps:
+            return
+        pos = m.points.pos[cand_mps]
+        Xc = pos @ kf1.R.T + kf1.t
+        z = Xc[:, 2]
+        vis = z > 0.05
+        zs = np.where(vis, z, 1.0)
+        u = float(self.cam.fx) * Xc[:, 0] / zs + float(self.cam.cx)
+        v = float(self.cam.fy) * Xc[:, 1] / zs + float(self.cam.cy)
+        uv = np.stack([u, v], -1).astype(np.float32)
+        binary = m.desc_dim > 64
+        res = matching.search_by_projection(
+            jnp.asarray(uv), jnp.asarray(m.points.desc[cand_mps]),
+            jnp.asarray(vis & m.points.alive[cand_mps]),
+            jnp.asarray(kf1.kpts_un), jnp.asarray(kf1.desc),
+            jnp.asarray(kf1.valid),
+            radius=5.0,
+            max_dist=jnp.float32(
+                matching.ORB_TH_LOW if binary else matching.TH_LOW * 6
+            ),
+            ratio=0.9, binary=binary,
+        )
+        idx = np.asarray(res.idx)
+        mask = np.asarray(res.mask)
+        for i in np.nonzero(mask)[0]:
+            old_mp = cand_mps[i]
+            slot = int(idx[i])
+            new_mp = int(kf1.mp_ids[slot])
+            if new_mp >= 0 and new_mp != old_mp and m.points.alive[new_mp]:
+                # keep the longer-observed side (reference keeps more-obs MP)
+                if m.points.n_obs[old_mp] >= m.points.n_obs[new_mp]:
+                    m.replace_point(new_mp, old_mp)
+                else:
+                    m.replace_point(old_mp, new_mp)

@@ -80,6 +80,7 @@ class System:
             self.loop_closing = LoopClosing(
                 self.map, settings.cam, bf=settings.bf,
                 fix_scale=(sensor != Sensor.MONOCULAR),
+                atlas=self.atlas,
             )
         self.tracking = Tracking(
             self.pipeline, self.map, settings.cam, cfg,
@@ -119,11 +120,9 @@ class System:
                 self.local_mapping.map = self.map
                 self.local_mapping.recent_points.clear()
             if self.loop_closing is not None:
+                # retrieval is atlas-wide (one KeyFrameDatabase across maps
+                # like the reference) — keep the entries, just repoint
                 self.loop_closing.map = self.map
-                self.loop_closing.retrieval = type(self.loop_closing.retrieval)(
-                    dim=self.map.desc_dim
-                )
-                self.tracking.retrieval = self.loop_closing.retrieval
 
     def _run_backend(self):
         self._sync_active_map()
@@ -140,6 +139,29 @@ class System:
                 self.loop_closing.process_keyframe(kid)
             ran = True
         if ran:
+            if (self.loop_closing is not None
+                    and self.loop_closing.map is not self.map):
+                # a map merge changed the active map underneath us
+                self.map = self.loop_closing.map
+                self.tracking.map = self.map
+                if self.local_mapping is not None:
+                    self.local_mapping.map = self.map
+                    self.local_mapping.recent_points.clear()
+                # keyframe ids were offset by the merge; the tracker's
+                # reference must be re-resolved
+                self.tracking.ref_kf = max(self.map.keyframes)
+                self.tracking.next_kf_id = max(self.map.keyframes) + 1
+                self.tracking._rel_pose = None
+                if self.tracking.last_frame is not None:
+                    lf = self.tracking.last_frame
+                    kf = self.map.keyframes[self.tracking.ref_kf]
+                    # the moved KF was created from the current frame; adopt
+                    # its welded pose
+                    lf.R = kf.R.copy()
+                    lf.t = kf.t.copy()
+                    lf.mp_ids = kf.mp_ids.copy()
+                    lf.inlier = lf.mp_ids >= 0
+                self.tracking.velocity = None
             # the backend may have moved keyframes (local BA): re-base the
             # tracker's last-frame pose on its reference KF
             self.tracking.reanchor_last_frame()
