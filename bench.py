@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 H, W, K = 480, 640, 1000
-BATCH = 8
+BATCH = 32  # amortizes per-dispatch overhead (tunnel RTT); see B-sweep in round-1 log
 WARMUP = 2
 ITERS = 8
 
@@ -106,7 +106,7 @@ def main():
     print(json.dumps({
         "metric": f"xfeat_extract_match_throughput_{platform}",
         "value": round(fps, 2),
-        "unit": "frames/s (640x480, 1000 kpts, batch 8)",
+        "unit": f"frames/s (640x480, 1000 kpts, batch {BATCH})",
         "vs_baseline": round(fps / base_fps, 2),
     }))
 
