@@ -65,3 +65,48 @@ class TestRgbdSlam:
         # first pose is identity: position 0, quaternion (0,0,0,1)
         np.testing.assert_allclose(rows[0, :3], 0.0, atol=1e-6)
         np.testing.assert_allclose(rows[0, 6], 1.0, atol=1e-6)
+
+
+class TestStereoSlam:
+    def test_stereo_tracks(self):
+        """Rectified stereo pipeline: render left+right views (baseline along
+        +x), track; stereo depth must initialize the map and hold cm-level
+        odometry like the RGB-D path (TrackStereo role)."""
+        seq = synthetic.make_sequence(n_frames=8)
+        K = seq["K"]
+        baseline = 0.08  # meters
+        bf = baseline * K[0, 0]
+        scene = synthetic.RoomScene(seed=0)
+        rights = []
+        for (R, t) in seq["poses"][:8]:
+            # rectified right camera: Xc_r = R Xw + t - (b,0,0)
+            t_r = (t - np.array([baseline, 0, 0], np.float32)).astype(np.float32)
+            img_r, _ = scene.render(K, R, t_r, (480, 640))
+            rights.append(img_r)
+
+        settings = Settings(
+            cam=Pinhole.from_list([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
+            bf=bf, th_depth=3.0, depth_map_factor=1.0,
+        )
+        system = System(settings, Sensor.STEREO, backend="orb")
+        errs = []
+        for i in range(8):
+            state, pose = system.track_stereo(
+                seq["images"][i], rights[i], seq["timestamps"][i]
+            )
+            assert state.name in ("OK", "NOT_INITIALIZED"), state
+            if pose is not None:
+                Rg, tg = seq["poses"][i]
+                errs.append(float(np.linalg.norm(-pose[0].T @ pose[1] + Rg.T @ tg)))
+        assert len(errs) >= 6
+        assert max(errs) < 0.08, errs
+        # stereo depth actually populated the frame
+        f = system.tracking.last_frame
+        assert (f.depth > 0).sum() > 100
+        # depth accuracy vs the rendered depth map
+        d_gt = seq["depths"][7]
+        sel = f.valid & (f.depth > 0)
+        xi = np.clip(f.kpts[sel, 0].astype(int), 0, 639)
+        yi = np.clip(f.kpts[sel, 1].astype(int), 0, 479)
+        rel = np.abs(f.depth[sel] - d_gt[yi, xi]) / d_gt[yi, xi]
+        assert np.median(rel) < 0.05, np.median(rel)

@@ -249,7 +249,7 @@ def stereo_match_rows(
     kpt_uv_l, desc_l, valid_l, octave_l,
     kpt_uv_r, desc_r, valid_r, octave_r,
     min_disp: float = 0.0, max_disp: float = 128.0,
-    row_band: float = 2.0, max_dist: float = ORB_TH_HIGH,
+    row_band: float = 2.0, max_dist: float = (ORB_TH_HIGH + ORB_TH_LOW) / 2,
     binary: bool = True,
 ):
     """Row-banded stereo matching for rectified pairs.
@@ -257,7 +257,8 @@ def stereo_match_rows(
     Role of Frame::ComputeStereoMatches (/root/reference/src/Frame.cc:
     1004-1174): for each left keypoint, search right keypoints within
     +-row_band rows (scaled by octave there) and [min_disp, max_disp]
-    disparity, accept the best descriptor distance. (The reference then
+    disparity, accept the best descriptor distance below
+    (TH_HIGH+TH_LOW)/2 (thOrbDist, Frame.cc:1027). (The reference then
     refines with an image-patch SAD parabola; descriptor-level matching is
     the shape-static equivalent — subpixel refinement belongs to the
     extractor's subpixel stage in this design.)

@@ -142,6 +142,49 @@ class FramePipeline:
         self._next_id += 1
         return f
 
+    def build_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray,
+                     timestamp: float, min_disp: float = 0.5,
+                     max_disp: float = 192.0) -> Frame:
+        """Rectified stereo frame (Frame stereo ctor role,
+        /root/reference/src/Frame.cc:102-199: dual extraction +
+        ComputeStereoMatches): extract both images, row-banded match, depth
+        = bf/disparity."""
+        from ..ops import matching
+
+        out_l = self._extract(gray_l)
+        out_r = self._extract(gray_r)
+        K = len(out_l["kpts"][0])
+        oct_l = out_l.get("octave", np.zeros((1, K), np.int32))[0]
+        oct_r = out_r.get("octave", np.zeros((1, K), np.int32))[0]
+        binary = out_l["desc"].shape[-1] > 64
+        res, disp = matching.stereo_match_rows(
+            jnp.asarray(out_l["kpts_un"][0]), jnp.asarray(out_l["desc"][0]),
+            jnp.asarray(out_l["valid"][0]), jnp.asarray(oct_l),
+            jnp.asarray(out_r["kpts_un"][0]), jnp.asarray(out_r["desc"][0]),
+            jnp.asarray(out_r["valid"][0]), jnp.asarray(oct_r),
+            min_disp=min_disp, max_disp=max_disp,
+            binary=binary,
+        )
+        disp = np.asarray(disp)
+        mask = np.asarray(res.mask)
+        d = np.where(mask & (disp > min_disp), self.bf / np.maximum(disp, 1e-6), 0.0)
+        kpts_un = out_l["kpts_un"][0]
+        ur = np.where(d > 0, kpts_un[:, 0] - disp, -1.0)
+        f = Frame(
+            fid=self._next_id,
+            timestamp=timestamp,
+            kpts=out_l["kpts"][0],
+            kpts_un=kpts_un,
+            desc=out_l["desc"][0],
+            scores=out_l["scores"][0],
+            valid=out_l["valid"][0],
+            depth=d.astype(np.float32),
+            ur=ur.astype(np.float32),
+            angle=out_l.get("angle", np.zeros((1, K), np.float32))[0],
+        )
+        self._next_id += 1
+        return f
+
     def build_mono(self, gray: np.ndarray, timestamp: float) -> Frame:
         K = self.extractor.nfeatures
         out = self._extract(gray)

@@ -103,6 +103,15 @@ class System:
             self._run_backend()
         return state, pose
 
+    def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray,
+                     timestamp: float):
+        """Rectified stereo tracking (System::TrackStereo role)."""
+        with self.timer.span("track"):
+            state, pose = self.tracking.grab_stereo(gray_l, gray_r, timestamp)
+        with self.timer.span("backend"):
+            self._run_backend()
+        return state, pose
+
     def track_monocular(self, gray: np.ndarray, timestamp: float):
         """Monocular tracking (System::TrackMonocular role)."""
         with self.timer.span("track"):

@@ -103,6 +103,13 @@ class Tracking:
         frame = self.pipeline.build_mono(gray, timestamp)
         return self._track(frame)
 
+    def grab_stereo(self, gray_l, gray_r, timestamp) -> Tuple[State, Optional[Tuple[np.ndarray, np.ndarray]]]:
+        """Stereo tracking (GrabImageStereo role,
+        /root/reference/src/Tracking.cc:1461): stereo depth drives the same
+        RGB-D-style init/point-creation path."""
+        frame = self.pipeline.build_stereo(gray_l, gray_r, timestamp)
+        return self._track(frame)
+
     # ------------------------------------------------------------ internals
 
     def _track(self, frame: Frame):
