@@ -1,21 +1,50 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set the XLA flags before jax is imported anywhere.
+The container boots every interpreter through an axon remote-TPU hook that
+registers a PJRT plugin at interpreter start — even ``JAX_PLATFORMS=cpu``
+runs then route jit compiles through the remote tunnel. When that hook is
+detected, ``pytest_configure`` re-execs pytest once with a sanitized
+environment (see ``xfeatslam_tpu.utils.env``). Capture is suspended first
+so the re-exec'd run writes to the real stdout.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax  # noqa: E402
+from xfeatslam_tpu.utils.env import _interpreter_is_tainted, cpu_env  # noqa: E402
+
+if not _interpreter_is_tainted():
+    # Clean interpreter: just pin the CPU flags before anything imports jax.
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    if not _interpreter_is_tainted():
+        return
+    # Restore the real stdout/stderr fds before exec'ing, else the child's
+    # output lands in this process's capture temp file and vanishes.
+    capman = config.pluginmanager.get_plugin("capturemanager")
+    if capman is not None:
+        try:
+            capman.suspend_global_capture(in_=True)
+            capman.stop_global_capturing()
+        except Exception:
+            pass
+    sys.stdout.flush()
+    sys.stderr.flush()
+    env = cpu_env(8)
+    os.execve(sys.executable, [sys.executable, "-m", "pytest"]
+              + list(config.invocation_params.args), env)
 
 
 @pytest.fixture
@@ -25,4 +54,6 @@ def rng():
 
 @pytest.fixture(scope="session")
 def devices():
+    import jax
+
     return jax.devices()

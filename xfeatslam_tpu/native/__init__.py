@@ -25,13 +25,25 @@ _TRIED = False
 def _build() -> Optional[str]:
     src = os.path.join(_HERE, "quadtree.cpp")
     out = os.path.join(_HERE, "_native.so")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
-        return out
+    # Always rebuild from source on first use of a fresh process unless the
+    # artifact is demonstrably newer than the source AND was produced by this
+    # checkout (a stamp file records the source mtime it was built from) —
+    # a checked-out prebuilt .so would otherwise shadow the reviewable code.
+    stamp = out + ".stamp"
+    src_mtime = os.path.getmtime(src)
+    if (os.path.exists(out) and os.path.exists(stamp)):
+        try:
+            if float(open(stamp).read().strip()) == src_mtime:
+                return out
+        except (ValueError, OSError):
+            pass
     try:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-o", out, src],
             check=True, capture_output=True, timeout=120,
         )
+        with open(stamp, "w") as f:
+            f.write(str(src_mtime))
         return out
     except Exception:
         return None

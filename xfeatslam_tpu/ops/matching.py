@@ -86,18 +86,46 @@ def _best_two(dist):
     return -vals[:, 0], -vals[:, 1], idx[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("binary",))
+def _use_pallas() -> bool:
+    """Route float-descriptor MNN through the fused Pallas kernel when the
+    default backend is TPU (falls back to the XLA path everywhere else)."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("binary", "fused"))
 def match_mutual_nn(desc_a, desc_b, valid_a, valid_b,
                     max_dist: float = TH_LOW, ratio: float = 1.0,
-                    binary: bool = False):
+                    binary: bool = False, fused: Optional[bool] = None):
     """Mutual nearest-neighbor matching with optional Lowe ratio test.
 
     The batched-offline equivalent of SearchForInitialization-style matching
     and the XFeat paper's MNN matcher; used by the throughput benchmark
     config (BASELINE.md config 4).
 
+    On TPU the float path runs through the fused Pallas similarity+top-2
+    kernel (ops/pallas_kernels.py) so the (N,M) matrix never round-trips
+    HBM; `fused` overrides the platform auto-detection (tests use it with
+    interpret mode off-TPU).
+
     Returns MatchResult over rows of desc_a.
     """
+    if fused is None:
+        fused = (not binary) and _use_pallas()
+    if fused and not binary:
+        from . import pallas_kernels as pk
+
+        interpret = jax.default_backend() != "tpu"
+        best, second, idx, col_best_row = pk.mutual_nn_top2(
+            desc_a, desc_b, valid_a, valid_b, interpret=interpret
+        )
+        mutual = col_best_row[jnp.clip(idx, 0, desc_b.shape[0] - 1)] == (
+            jnp.arange(desc_a.shape[0])
+        )
+        ok = (best <= max_dist) & (best <= ratio * second) & mutual & valid_a
+        return MatchResult(jnp.where(ok, idx, -1), best, ok)
     dist = _mask_dist(distance_matrix(desc_a, desc_b, binary), valid_a, valid_b)
     best, second, idx = _best_two(dist)
     # mutual check: row i's best column j must have row i as ITS best row

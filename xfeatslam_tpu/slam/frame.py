@@ -157,12 +157,20 @@ class FramePipeline:
         oct_l = out_l.get("octave", np.zeros((1, K), np.int32))[0]
         oct_r = out_r.get("octave", np.zeros((1, K), np.int32))[0]
         binary = out_l["desc"].shape[-1] > 64
+        # thOrbDist = (TH_HIGH+TH_LOW)/2 in the active profile's distance
+        # units (Frame::ComputeStereoMatches, /root/reference/src/Frame.cc:
+        # 1027): 75 Hamming for ORB, 550 L2^2x512 for XFeat floats.
+        th_orb_dist = (
+            (matching.ORB_TH_HIGH + matching.ORB_TH_LOW) / 2 if binary
+            else (matching.TH_HIGH + matching.TH_LOW) / 2
+        )
         res, disp = matching.stereo_match_rows(
             jnp.asarray(out_l["kpts_un"][0]), jnp.asarray(out_l["desc"][0]),
             jnp.asarray(out_l["valid"][0]), jnp.asarray(oct_l),
             jnp.asarray(out_r["kpts_un"][0]), jnp.asarray(out_r["desc"][0]),
             jnp.asarray(out_r["valid"][0]), jnp.asarray(oct_r),
             min_disp=min_disp, max_disp=max_disp,
+            max_dist=jnp.float32(th_orb_dist),
             binary=binary,
         )
         disp = np.asarray(disp)

@@ -25,9 +25,16 @@ from ..ops import lie, matching
 from ..optim import local_ba as ba_mod
 from ..optim import pose_graph as pg
 from ..optim import sim3 as sim3_mod
+from ..utils.verbose import Level, print_mess
 from .retrieval import Retrieval
 
 PAIR_BUCKET = 512  # padded matched-MP pairs for Sim3 verification
+
+
+def _bucket(n: int, lo: int = 8) -> int:
+    """Round n up to a power of two (>= lo) so padded problem shapes hit a
+    bounded set of jit signatures instead of one per map size."""
+    return max(lo, 1 << max(0, int(n) - 1).bit_length())
 
 
 class LoopClosing:
@@ -191,10 +198,17 @@ class LoopClosing:
 
         group = [kid] + m.covisible_kfs(kid)
         corrected_points = set()
+        # pre-correction poses of the moved group: the essential graph needs
+        # edge measurements from the UNcorrected geometry (the reference's
+        # NonCorrectedSim3 map, LoopClosing.cc:1039-1135) — measuring edges
+        # from post-correction poses would zero every non-loop residual and
+        # make the pose-graph optimization a no-op.
+        non_corrected = {}
         for gk in group:
             kf = m.keyframes.get(gk)
             if kf is None:
                 continue
+            non_corrected[gk] = (kf.R.copy(), kf.t.copy())
             si, Ri, ti = lie.sim3_compose(
                 jnp.float32(1.0), jnp.asarray(kf.R), jnp.asarray(kf.t),
                 jnp.float32(sD), jnp.asarray(RD), jnp.asarray(tD),
@@ -218,7 +232,8 @@ class LoopClosing:
         kf2.loop_edges.add(kid)
 
         # essential-graph optimization over all KFs
-        self._optimize_essential_graph(kid, ckid, s12, R12, t12)
+        self._optimize_essential_graph(kid, ckid, s12, R12, t12,
+                                       non_corrected=non_corrected)
         if self.run_gba:
             self.global_bundle_adjust()
         m.change_index += 1
@@ -240,15 +255,32 @@ class LoopClosing:
         return sorted(edges)
 
     def _optimize_essential_graph(self, kid: int, ckid: int, s12, R12, t12,
-                                  max_kfs: int = 256, max_edges: int = 1024):
+                                  non_corrected: Optional[dict] = None):
+        """Optimize ALL keyframes over the essential graph (no truncation;
+        problem arrays are padded to power-of-two buckets to bound jit
+        signatures). Edge measurements for keyframes moved by _correct_loop
+        come from their PRE-correction poses (``non_corrected``), mirroring
+        the reference's NonCorrectedSim3 (Optimizer.cc:1501-1784)."""
         m = self.map
         kids = sorted(m.keyframes)
         if len(kids) < 3:
             return
-        kids = kids[:max_kfs]
+        non_corrected = non_corrected or {}
         index = {k: i for i, k in enumerate(kids)}
-        C = max_kfs
-        E = max_edges
+        C = _bucket(len(kids))
+        edges = self._essential_edges()
+        E = _bucket(len(edges), lo=16)
+        if len(kids) > 512:
+            print_mess(f"essential graph: {len(kids)} KFs / {len(edges)} "
+                       f"edges (buckets {C}/{E})", Level.VERBOSE)
+
+        def pose_for_meas(k):
+            """Pose used to BUILD measurements: pre-correction if the KF was
+            moved by the loop snap, else current."""
+            if k in non_corrected:
+                return non_corrected[k]
+            kf = m.keyframes[k]
+            return kf.R, kf.t
 
         s0 = np.ones(C, np.float32)
         R0 = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
@@ -267,13 +299,11 @@ class LoopClosing:
         if m.kf_origin in index:
             fixed[index[m.kf_origin]] = True
 
-        edges = self._essential_edges()
         ei, ej, m_s, m_R, m_t = [], [], [], [], []
         loop_pair = (min(kid, ckid), max(kid, ckid))
-        for (a, b) in edges[:E]:
+        for (a, b) in edges:
             if a not in index or b not in index:
                 continue
-            ka, kb = m.keyframes[a], m.keyframes[b]
             if (a, b) == loop_pair:
                 # measured relative from the VERIFIED Sim3 (S12: cand->curr)
                 if a == ckid:  # m = S_b S_a^{-1} with (i=a, j=b)
@@ -284,11 +314,13 @@ class LoopClosing:
                                            jnp.asarray(t12))
                     ms, mR, mt = float(inv[0]), np.asarray(inv[1]), np.asarray(inv[2])
             else:
-                # m(a->b) = S_b * S_a^{-1} from current estimates
-                inv = lie.sim3_inverse(jnp.float32(1.0), jnp.asarray(ka.R),
-                                       jnp.asarray(ka.t))
-                comp = lie.sim3_compose(jnp.float32(1.0), jnp.asarray(kb.R),
-                                        jnp.asarray(kb.t), *inv)
+                # m(a->b) = S_b * S_a^{-1} from pre-correction estimates
+                Ra, ta = pose_for_meas(a)
+                Rb, tb = pose_for_meas(b)
+                inv = lie.sim3_inverse(jnp.float32(1.0), jnp.asarray(Ra),
+                                       jnp.asarray(ta))
+                comp = lie.sim3_compose(jnp.float32(1.0), jnp.asarray(Rb),
+                                        jnp.asarray(tb), *inv)
                 ms, mR, mt = float(comp[0]), np.asarray(comp[1]), np.asarray(comp[2])
             ei.append(index[a])
             ej.append(index[b])
@@ -332,7 +364,7 @@ class LoopClosing:
         for mp, obs in list(m.obs.items()):
             if not m.points.alive[mp] or not obs:
                 continue
-            ref_k = next(iter(obs))
+            ref_k = min(obs)  # earliest observing KF: deterministic anchor
             if ref_k not in index:
                 continue
             i = index[ref_k]
@@ -346,24 +378,40 @@ class LoopClosing:
 
     # ------------------------------------------------------------------- GBA
 
-    def global_bundle_adjust(self, max_cams: int = 64, max_pts: int = 8192,
-                             max_obs: int = 32768):
+    def global_bundle_adjust(self, max_pts: int = 65536,
+                             max_obs: int = 262144):
         """GlobalBundleAdjustemnt over the whole map
         (/root/reference/src/Optimizer.cc:52; RunGlobalBundleAdjustment
-        LoopClosing.cc:2268) using the same batched LM kernel as local BA."""
+        LoopClosing.cc:2268) using the same batched LM kernel as local BA.
+
+        ALL keyframes participate (the matrix-free PCG solver scales with
+        problem size, so there is no camera cap); points/observations are
+        padded to power-of-two buckets. The huge ``max_pts``/``max_obs``
+        backstops exist only to bound device memory — hitting them is LOGGED,
+        never silent, and drops the most-observed points last."""
         m = self.map
-        kids = sorted(m.keyframes)[:max_cams]
+        kids = sorted(m.keyframes)
         if len(kids) < 2:
             return
         index = {k: i for i, k in enumerate(kids)}
-        pt_ids = [mp for mp in m.obs if m.points.alive[mp]][:max_pts]
+        pt_ids = [mp for mp in m.obs if m.points.alive[mp]]
+        if len(pt_ids) > max_pts:
+            # keep the best-supported points; log the truncation
+            pt_ids.sort(key=lambda mp: -len(m.obs.get(mp, {})))
+            print_mess(f"GBA: point cap hit — optimizing {max_pts} of "
+                       f"{len(pt_ids)} map points", Level.NORMAL)
+            pt_ids = pt_ids[:max_pts]
         pt_index = {mp: i for i, mp in enumerate(pt_ids)}
 
-        obs_cam, obs_pt, uv, ur, stereo, obs_ref = [], [], [], [], [], []
+        obs_cam, obs_pt, uv, ur, stereo = [], [], [], [], []
+        dropped_obs = 0
         for mp in pt_ids:
             for k, slot in m.obs.get(mp, {}).items():
                 ci = index.get(k)
                 if ci is None:
+                    continue
+                if len(obs_cam) >= max_obs:
+                    dropped_obs += 1
                     continue
                 kf = m.keyframes[k]
                 obs_cam.append(ci)
@@ -372,11 +420,10 @@ class LoopClosing:
                 r = kf.ur[slot]
                 ur.append(r if r > 0 else 0.0)
                 stereo.append(r > 0)
-                obs_ref.append((mp, k))
-                if len(obs_cam) >= max_obs:
-                    break
-            if len(obs_cam) >= max_obs:
-                break
+        if dropped_obs:
+            print_mess(f"GBA: obs cap hit — dropped {dropped_obs} of "
+                       f"{dropped_obs + len(obs_cam)} observations",
+                       Level.NORMAL)
         n_obs = len(obs_cam)
         if n_obs < 50:
             return
@@ -387,7 +434,9 @@ class LoopClosing:
             out[: len(a)] = a
             return out
 
-        C = max_cams
+        C = _bucket(len(kids))
+        max_pts = _bucket(len(pt_ids), lo=256)
+        max_obs = _bucket(n_obs, lo=1024)
         fixed = np.ones(C, bool)
         cam_valid = np.zeros(C, bool)
         R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))

@@ -386,7 +386,7 @@ class Tracking:
             seen.add(kid)
             for mp in kf.mp_ids[kf.mp_ids >= 0]:
                 mp = int(mp)
-                if mp not in seen and self.map.points.alive[mp]:
+                if (mp + 10 ** 9) not in seen and self.map.points.alive[mp]:
                     seen.add(mp + 10 ** 9)  # avoid clash with kf ids
                     mp_ids.append(mp)
         # de-dup preserving order, cap to bucket
