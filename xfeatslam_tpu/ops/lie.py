@@ -245,6 +245,27 @@ def normalize_rotation(R):
     return jnp.where(det[..., None, None] > 0, Rn, u_fixed @ vt)
 
 
+def np_normalize_rotation(R):
+    """Host-side (numpy) SO3 projection for the tracking/map boundaries.
+
+    Rotation chains composed in float32 lose orthonormality MULTIPLICATIVELY
+    through the motion-model feedback loop (velocity = F_k * F_{k-1}^T, then
+    prediction = velocity * F_k): the deviation roughly doubles per frame and
+    reaches 1e-2 within ~15 frames, at which point the det<1 'rotation'
+    absorbs scene scale and pose optimization converges centimeters off (the
+    round-1 'drift ratchet'). Every host-side write of a frame/keyframe
+    rotation must pass through this projection. The reference never hits
+    this because Sophus stores SO3 as a normalized quaternion."""
+    import numpy as _np
+
+    u, _, vt = _np.linalg.svd(_np.asarray(R, _np.float64))
+    Rn = u @ vt
+    if _np.linalg.det(Rn) < 0:
+        u[..., :, 2] *= -1.0
+        Rn = u @ vt
+    return Rn.astype(_np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Sim3
 # ---------------------------------------------------------------------------

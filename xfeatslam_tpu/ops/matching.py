@@ -141,6 +141,9 @@ def search_by_projection(
     kpt_uv, kpt_desc, valid_kpt,
     radius, max_dist=TH_HIGH, ratio: float = 0.9,
     kpt_free: Optional[jnp.ndarray] = None, binary: bool = False,
+    kpt_octave: Optional[jnp.ndarray] = None,
+    oct_lo: Optional[jnp.ndarray] = None,
+    oct_hi: Optional[jnp.ndarray] = None,
 ):
     """Projection-guided matching: map points -> keypoints within a pixel
     radius (ORBmatcher::SearchByProjection family,
@@ -152,12 +155,18 @@ def search_by_projection(
       kpt_uv: (N,2) frame keypoints (undistorted); kpt_desc (N,D);
         valid_kpt (N,) bool.
       radius: scalar or (M,) per-point search radius in pixels (the reference
-        scales by viewing-cos and octave; XFeat is single-octave).
+        scales by viewing-cos and predicted octave, ORBmatcher.cc:92-105;
+        pass per-point radii for that behavior — XFeat is single-octave).
       max_dist: accept threshold (TH_HIGH for tracking).
       ratio: best/second ratio gate (mfNNratio; applied like the reference's
         best-vs-second-best check within the window).
       kpt_free: optional (N,) bool — keypoint not already bound to a map
         point (reference skips those, e.g. ORBmatcher.cc:137-146).
+      kpt_octave/oct_lo/oct_hi: optional scale gate — keypoint n is a
+        candidate for map point m only when oct_lo[m] <= kpt_octave[n] <=
+        oct_hi[m] (the reference's nPredictedLevel window,
+        ORBmatcher.cc:122-131: a wrong-scale detection of similar texture is
+        the dominant wrong-match source on repetitive scenes).
 
     Returns MatchResult over map points, deduplicated so each keypoint keeps
     only its best map point (the reference dedups first-come-first-served;
@@ -170,6 +179,11 @@ def search_by_projection(
     )
     if kpt_free is not None:
         within = within & kpt_free[None, :]
+    if kpt_octave is not None and oct_lo is not None:
+        within = within & (
+            (kpt_octave[None, :] >= oct_lo[:, None])
+            & (kpt_octave[None, :] <= oct_hi[:, None])
+        )
     dist = _mask_dist(distance_matrix(mp_desc, kpt_desc, binary), valid_mp, valid_kpt)
     dist = jnp.where(within, dist, INVALID)
 

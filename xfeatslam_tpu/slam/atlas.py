@@ -14,8 +14,11 @@ from .map import SlamMap
 
 
 class Atlas:
-    def __init__(self, desc_dim: int = 64):
+    def __init__(self, desc_dim: int = 64, scale_factor: float = 1.2,
+                 n_levels: int = 1):
         self.desc_dim = desc_dim
+        self.scale_factor = scale_factor
+        self.n_levels = n_levels
         self._next_map_id = 0
         self.maps: Dict[int, SlamMap] = {}
         self.active_id: Optional[int] = None
@@ -28,7 +31,8 @@ class Atlas:
     def create_new_map(self) -> SlamMap:
         """Freeze the current map and start a fresh one
         (Tracking::CreateMapInAtlas path, /root/reference/src/Tracking.cc:2689)."""
-        m = SlamMap(map_id=self._next_map_id, desc_dim=self.desc_dim)
+        m = SlamMap(map_id=self._next_map_id, desc_dim=self.desc_dim,
+                    scale_factor=self.scale_factor, n_levels=self.n_levels)
         self.maps[m.map_id] = m
         self.active_id = m.map_id
         self._next_map_id += 1

@@ -35,6 +35,7 @@ class Frame:
     depth: np.ndarray  # (K,) metric depth (<=0 none)
     ur: np.ndarray  # (K,) virtual right u (<0 none)
     angle: np.ndarray = None  # (K,) keypoint orientation (0 for XFeat)
+    octave: np.ndarray = None  # (K,) pyramid level (0 for XFeat)
     R: Optional[np.ndarray] = None  # world->camera
     t: Optional[np.ndarray] = None
     mp_ids: np.ndarray = None  # (K,) int64 map-point binding, -1 free
@@ -48,6 +49,8 @@ class Frame:
             self.inlier = np.zeros(K, bool)
         if self.angle is None:
             self.angle = np.zeros(K, np.float32)
+        if self.octave is None:
+            self.octave = np.zeros(K, np.int32)
 
     @property
     def n_valid(self):
@@ -138,6 +141,7 @@ class FramePipeline:
             depth=d,
             ur=ur.astype(np.float32),
             angle=out.get("angle", np.zeros((1, len(kpts)), np.float32))[0],
+            octave=out.get("octave", np.zeros((1, len(kpts)), np.int32))[0],
         )
         self._next_id += 1
         return f
@@ -189,6 +193,7 @@ class FramePipeline:
             depth=d.astype(np.float32),
             ur=ur.astype(np.float32),
             angle=out_l.get("angle", np.zeros((1, K), np.float32))[0],
+            octave=oct_l.astype(np.int32),
         )
         self._next_id += 1
         return f
@@ -207,6 +212,7 @@ class FramePipeline:
             depth=np.zeros(K, np.float32),
             ur=np.full(K, -1.0, np.float32),
             angle=out.get("angle", np.zeros((1, K), np.float32))[0],
+            octave=out.get("octave", np.zeros((1, K), np.int32))[0],
         )
         self._next_id += 1
         return f

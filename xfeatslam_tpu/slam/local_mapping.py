@@ -156,7 +156,7 @@ class LocalMapping:
         for k, i in cam_index.items():
             if not fixed[i]:
                 kf = self.map.keyframes[k]
-                kf.R = R_new[i]
+                kf.R = lie.np_normalize_rotation(R_new[i])
                 kf.t = t_new[i]
         self.map.points.pos[pt_ids] = X_new[: len(pt_ids)]
         # drop outlier observations (Optimizer.cc:1405-1436)

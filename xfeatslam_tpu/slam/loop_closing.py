@@ -225,7 +225,7 @@ class LoopClosing:
                 Xw = (Ri.T @ (Xc - ti)) / si
                 m.points.pos[mp] = Xw.astype(np.float32)
             # corrected SE3 pose: [R | t/s] (reference :1110-1118)
-            kf.R = Ri.astype(np.float32)
+            kf.R = lie.np_normalize_rotation(Ri)
             kf.t = (ti / si).astype(np.float32)
 
         kf1.loop_edges.add(ckid)
@@ -357,7 +357,7 @@ class LoopClosing:
             kf = m.keyframes.get(k)
             if kf is None or fixed[i]:
                 continue
-            kf.R = R1[i].astype(np.float32)
+            kf.R = lie.np_normalize_rotation(R1[i])
             kf.t = (t1[i] / max(s1[i], 1e-9)).astype(np.float32)
         # transform points by their first-observing KF's correction
         # (CorrectLoop/RunGBA spanning propagation role)
@@ -466,7 +466,7 @@ class LoopClosing:
         for k, i in index.items():
             if not fixed[i]:
                 kf = m.keyframes[k]
-                kf.R = R1[i]
+                kf.R = lie.np_normalize_rotation(R1[i])
                 kf.t = t1[i]
         m.points.pos[pt_ids] = X1[: len(pt_ids)]
         m.change_index += 1
@@ -586,7 +586,7 @@ class LoopClosing:
                 jnp.float32(sD), jnp.asarray(RD), jnp.asarray(tD),
             )
             sP, RP, tP = float(sP), np.asarray(RP), np.asarray(tP)
-            kf.R = RP.astype(np.float32)
+            kf.R = lie.np_normalize_rotation(RP)
             kf.t = (tP / max(sP, 1e-9)).astype(np.float32)
             kf.kid = okid + kid_offset
             kf.mp_ids = np.array(

@@ -31,6 +31,7 @@ class KeyFrame:
     ur: np.ndarray  # (K,) right-u, <0 if none
     depth: np.ndarray  # (K,) metric depth, <=0 if none
     angle: np.ndarray = None  # (K,) keypoint orientation (0 for XFeat)
+    octave: np.ndarray = None  # (K,) pyramid level (0 for XFeat)
     R: np.ndarray = None  # (3,3) world->camera
     t: np.ndarray = None  # (3,)
     mp_ids: np.ndarray = None  # (K,) int64, -1 = none
@@ -46,6 +47,8 @@ class KeyFrame:
     def __post_init__(self):
         if self.angle is None:
             self.angle = np.zeros(len(self.kpts_un), np.float32)
+        if self.octave is None:
+            self.octave = np.zeros(len(self.kpts_un), np.int32)
         if self.mp_ids is None:
             self.mp_ids = np.full(len(self.kpts_un), -1, np.int64)
         if self.global_desc is None:
@@ -86,6 +89,7 @@ class MapPointStore:
             self.alive = mk((cap,), bool, False)
             self.first_kf = mk((cap,), np.int64, -1)
             self.angle = mk((cap,))
+            self.octave = mk((cap,), np.int32)
         else:
             old = self.cap
             new = max(cap, old * 2)
@@ -99,6 +103,7 @@ class MapPointStore:
                 ("n_obs", np.int32, 0), ("visible", np.int32, 0),
                 ("found", np.int32, 0), ("alive", bool, False),
                 ("first_kf", np.int64, -1), ("angle", np.float32, 0),
+                ("octave", np.int32, 0),
             ]:
                 a = getattr(self, name)
                 b = np.full((new,), fill, dt)
@@ -138,9 +143,14 @@ class SlamMap:
 
     COVIS_THRESHOLD = 15  # KeyFrame::UpdateConnections threshold
 
-    def __init__(self, map_id: int = 0, desc_dim: int = 64):
+    def __init__(self, map_id: int = 0, desc_dim: int = 64,
+                 scale_factor: float = 1.2, n_levels: int = 1):
         self.map_id = map_id
         self.desc_dim = desc_dim
+        # extractor pyramid geometry: drives the scale-invariance band and
+        # PredictScale (1 level for XFeat, 8 x 1.2 for ORB)
+        self.scale_factor = scale_factor
+        self.n_levels = n_levels
         self.keyframes: Dict[int, KeyFrame] = {}
         self.points = MapPointStore(desc_dim=desc_dim)
         # mp_id -> {kf_id: slot}
@@ -223,8 +233,24 @@ class SlamMap:
 
     # -- map points --------------------------------------------------------
 
-    def create_point(self, pos, desc, first_kf=-1, angle=0.0) -> int:
+    def create_point(self, pos, desc, first_kf=-1, angle=0.0,
+                     octave: int = 0, dist_ref: float = None) -> int:
+        """Allocate a landmark; when the creating view's distance is known,
+        initialize the scale-invariance band immediately (tracking creates
+        depth points with update_links=False, so update_point may not run
+        before the band is first consulted)."""
         mp = self.points.alloc(pos, desc, first_kf, angle)
+        self.points.octave[mp] = octave
+        if dist_ref is not None and dist_ref > 0:
+            if self.n_levels > 1:
+                dmax = dist_ref * (self.scale_factor ** int(octave))
+                self.points.dmax[mp] = dmax
+                self.points.dmin[mp] = dmax / (
+                    self.scale_factor ** (self.n_levels - 1)
+                )
+            else:
+                self.points.dmax[mp] = 2.0 * dist_ref
+                self.points.dmin[mp] = 0.5 * dist_ref
         self.obs[mp] = {}
         self.change_index += 1
         return mp
@@ -333,10 +359,34 @@ class SlamMap:
             nrm = np.mean(dirs, axis=0)
             n = np.linalg.norm(nrm)
             self.points.normal[mp] = nrm / n if n > 1e-9 else nrm
-        ref_kid = next(iter(o))
-        dist_ref = float(np.linalg.norm(pos - self.keyframes[ref_kid].center()))
-        self.points.dmax[mp] = 2.0 * dist_ref
-        self.points.dmin[mp] = 0.5 * dist_ref
+        ref_kid = min(o)
+        ref_kf = self.keyframes[ref_kid]
+        dist_ref = float(np.linalg.norm(pos - ref_kf.center()))
+        oct_ref = int(ref_kf.octave[o[ref_kid]])
+        self.points.octave[mp] = oct_ref
+        if self.n_levels > 1:
+            # reference band (MapPoint::UpdateNormalAndDepth,
+            # /root/reference/src/MapPoint.cc:420): dmax = dist * sf^octave,
+            # dmin = dmax / sf^(nLevels-1)
+            dmax = dist_ref * (self.scale_factor ** oct_ref)
+            self.points.dmax[mp] = dmax
+            self.points.dmin[mp] = dmax / (
+                self.scale_factor ** (self.n_levels - 1)
+            )
+        else:
+            # single-scale backend: a symmetric distance band
+            self.points.dmax[mp] = 2.0 * dist_ref
+            self.points.dmin[mp] = 0.5 * dist_ref
+
+    def predict_scale(self, mp_ids: np.ndarray, dists: np.ndarray) -> np.ndarray:
+        """MapPoint::PredictScale (/root/reference/src/MapPoint.cc:579):
+        level = ceil(log(dmax/dist)/log(scaleFactor)), clipped to the
+        pyramid."""
+        ratio = self.points.dmax[mp_ids] / np.maximum(dists, 1e-9)
+        level = np.ceil(
+            np.log(np.maximum(ratio, 1e-9)) / np.log(self.scale_factor)
+        )
+        return np.clip(level, 0, self.n_levels - 1).astype(np.int32)
 
     # -- snapshots for device kernels ---------------------------------------
 

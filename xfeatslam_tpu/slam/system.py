@@ -61,9 +61,14 @@ class System:
         profile = (matching.ORB_PROFILE if backend == "orb"
                    else matching.XFEAT_PROFILE)
         desc_dim = 256 if backend == "orb" else 64
+        # pyramid geometry: ORB is 8 levels x 1.2 (ORBextractor defaults,
+        # /root/reference/examples/RGB-D/TUM1.yaml); XFeat is single-scale
+        n_levels = getattr(self.extractor, "n_levels", 8 if backend == "orb" else 1)
+        scale_factor = getattr(self.extractor, "scale_factor", 1.2)
         from .atlas import Atlas
 
-        self.atlas = Atlas(desc_dim=desc_dim)
+        self.atlas = Atlas(desc_dim=desc_dim, scale_factor=scale_factor,
+                           n_levels=n_levels)
         self.map = self.atlas.active
         self.pipeline = FramePipeline(
             self.extractor, settings.cam, bf=settings.bf,
@@ -71,7 +76,8 @@ class System:
         )
         cfg = TrackerConfig(fps=settings.fps, th_depth=settings.th_depth,
                             binary=profile.binary, th_high=profile.th_high,
-                            th_low=profile.th_low)
+                            th_low=profile.th_low,
+                            n_levels=n_levels, scale_factor=scale_factor)
         self.local_mapping = None
         self.loop_closing = None
         if enable_loop_closing and enable_mapping:

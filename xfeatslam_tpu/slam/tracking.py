@@ -52,6 +52,14 @@ class TrackerConfig:
     # observation noise sigma in px (invSigma2 weights; reference uses
     # per-octave sigma with level-0 = 1px)
     obs_sigma: float = 1.0
+    # extractor pyramid geometry (8 x 1.2 for ORB; 1 level for XFeat) —
+    # enables octave-predicted search radii + scale gates in projection
+    # matching (ORBmatcher.cc:92-131) and per-octave information weights
+    n_levels: int = 1
+    scale_factor: float = 1.2
+    # creation-time duplicate suppression radius (px): no new depth point
+    # within this distance of an existing local-map projection
+    create_dedup_px: float = 2.0
     # matching profile (the USE_ORB switch, ORBmatcher.cc:34-35)
     binary: bool = False
     th_high: float = matching.TH_HIGH
@@ -199,7 +207,9 @@ class Tracking:
         for slot in np.nonzero(has_depth)[0]:
             X = ray[slot] * frame.depth[slot]
             mp = self.map.create_point(X.astype(np.float32), frame.desc[slot],
-                                       kf.kid, float(frame.angle[slot]))
+                                       kf.kid, float(frame.angle[slot]),
+                                       octave=int(frame.octave[slot]),
+                                       dist_ref=float(np.linalg.norm(X)))
             self.map.add_observation(mp, kf.kid, int(slot), update_links=False)
             frame.mp_ids[slot] = mp
         self.map.update_connections(kf.kid)
@@ -213,7 +223,10 @@ class Tracking:
     def _predict_pose(self, frame: Frame):
         if self.velocity is not None:
             Rv, tv = self.velocity
-            frame.R = (Rv @ self.last_frame.R).astype(np.float32)
+            # SO3 projection here is load-bearing: without it the velocity
+            # feedback loop compounds float32 orthonormality error
+            # geometrically (see lie.np_normalize_rotation)
+            frame.R = lie.np_normalize_rotation(Rv @ self.last_frame.R)
             frame.t = (Rv @ self.last_frame.t + tv).astype(np.float32)
         else:
             frame.R = self.last_frame.R.copy()
@@ -247,7 +260,13 @@ class Tracking:
         alive = self.map.points.alive[ids]
         valid = bound & frame.valid & alive
         is_stereo = valid & (frame.ur > 0)
-        inv_s2 = jnp.full(len(ids), 1.0 / self.cfg.obs_sigma ** 2, jnp.float32)
+        # per-octave information: sigma^2 scales with the detection level's
+        # pyramid factor squared (Optimizer::PoseOptimization invSigma2,
+        # /root/reference/src/Optimizer.cc:899-905)
+        sigma2 = self.cfg.obs_sigma ** 2 * (
+            self.cfg.scale_factor ** (2.0 * frame.octave.astype(np.float32))
+        )
+        inv_s2 = jnp.asarray((1.0 / sigma2).astype(np.float32))
         res = pose_opt.pose_optimization(
             jnp.asarray(frame.R), jnp.asarray(frame.t),
             jnp.asarray(Xw), jnp.asarray(frame.kpts_un),
@@ -257,7 +276,7 @@ class Tracking:
             jnp.asarray(valid),
             self.cam, jnp.float32(self.pipeline.bf),
         )
-        frame.R = np.asarray(res.R)
+        frame.R = lie.np_normalize_rotation(np.asarray(res.R))
         frame.t = np.asarray(res.t)
         frame.inlier = np.asarray(res.inliers)
         # drop outlier bindings (reference clears mvpMapPoints for outliers)
@@ -266,18 +285,34 @@ class Tracking:
 
     def _match_against(self, frame: Frame, pos, desc, ids, valid_mp,
                        radius: float, keep_existing: bool,
-                       mp_angle=None) -> int:
-        """Project map points, match into frame slots, bind mp_ids."""
+                       mp_angle=None, radius_scale=None,
+                       oct_lo=None, oct_hi=None) -> int:
+        """Project map points, match into frame slots, bind mp_ids.
+
+        radius_scale: optional (M,) per-point multiplier on `radius` (the
+        reference scales the window by the predicted octave's pyramid
+        factor, ORBmatcher.cc:92-105). oct_lo/oct_hi: optional (M,) octave
+        windows gating candidate keypoints (ORBmatcher.cc:122-131)."""
         uv, vis = self._project_points(frame.R, frame.t, pos)
         valid_mp = valid_mp & vis
         kpt_free = frame.mp_ids < 0 if keep_existing else np.ones(
             len(frame.kpts_un), bool
         )
+        r = jnp.float32(radius) if radius_scale is None else jnp.asarray(
+            (radius * radius_scale).astype(np.float32)
+        )
+        oct_kw = {}
+        if oct_lo is not None:
+            oct_kw = dict(
+                kpt_octave=jnp.asarray(frame.octave.astype(np.int32)),
+                oct_lo=jnp.asarray(oct_lo.astype(np.int32)),
+                oct_hi=jnp.asarray(oct_hi.astype(np.int32)),
+            )
         res = matching.search_by_projection(
             jnp.asarray(uv), jnp.asarray(desc), jnp.asarray(valid_mp),
             jnp.asarray(frame.kpts_un), jnp.asarray(frame.desc),
             jnp.asarray(frame.valid),
-            radius=jnp.float32(radius),
+            radius=r,
             # binary (ORB) descriptors: the generated BRIEF pattern's wrong-
             # match tail passes TH_HIGH=100; TH_LOW(50) keeps true matches
             # (hamming ~10-25) and cuts structured aliases that otherwise
@@ -285,6 +320,7 @@ class Tracking:
             max_dist=jnp.float32(self.cfg.th_low if self.cfg.binary
                                  else self.cfg.th_high), ratio=0.9,
             kpt_free=jnp.asarray(kpt_free), binary=self.cfg.binary,
+            **oct_kw,
         )
         idx = np.asarray(res.idx)
         mask = np.asarray(res.mask)
@@ -318,14 +354,25 @@ class Tracking:
 
         frame.mp_ids[:] = -1
         mp_angle = self.map.points.angle[np.where(bound, ids, 0)]
+        # scale gates from the LAST observation's octave (frame-to-frame
+        # SearchByProjection, ORBmatcher.cc:1861-2030: radius scaled by the
+        # last octave's factor; candidates within [oct-1, oct+1])
+        oct_kw = {}
+        if self.cfg.n_levels > 1:
+            lo = last.octave.astype(np.int32)
+            oct_kw = dict(
+                radius_scale=self.cfg.scale_factor ** lo.astype(np.float32),
+                oct_lo=lo - 1, oct_hi=lo + 1,
+            )
         n = self._match_against(frame, pos, desc, ids, valid_mp,
                                 self.cfg.motion_radius, keep_existing=False,
-                                mp_angle=mp_angle)
+                                mp_angle=mp_angle, **oct_kw)
         if n < 20:
             frame.mp_ids[:] = -1
             n = self._match_against(frame, pos, desc, ids, valid_mp,
                                     self.cfg.motion_radius * 2,
-                                    keep_existing=False, mp_angle=mp_angle)
+                                    keep_existing=False, mp_angle=mp_angle,
+                                    **oct_kw)
         if n < self.cfg.min_inliers_motion:
             return False
         inl = self._pose_optimize(frame)
@@ -398,6 +445,7 @@ class Tracking:
         ids = self._local_map_points(frame)
         if ids is None or len(ids) == 0:
             return False
+        self._last_local_ids = np.asarray(ids)  # for creation-time dedup
         pos, desc, valid, padded_ids = self.map.point_snapshot(ids, LOCAL_MP_BUCKET)
         # skip points already matched in the frame
         bound_set = set(frame.mp_ids[frame.mp_ids >= 0].tolist())
@@ -406,9 +454,22 @@ class Tracking:
         )
         self.map.points.visible[ids[self.map.points.alive[ids]]] += 1
         mp_angle = self.map.points.angle[np.clip(padded_ids, 0, None)]
+        # predicted-scale gates (SearchByProjection vs local MPs,
+        # ORBmatcher.cc:92-131: radius by PredictScale's pyramid factor,
+        # candidate octave within [pred-1, pred])
+        oct_kw = {}
+        if self.cfg.n_levels > 1:
+            safe_ids = np.clip(padded_ids, 0, None)
+            C = -frame.R.T @ frame.t
+            dist = np.linalg.norm(self.map.points.pos[safe_ids] - C, axis=-1)
+            pred = self.map.predict_scale(safe_ids, dist)
+            oct_kw = dict(
+                radius_scale=self.cfg.scale_factor ** pred.astype(np.float32),
+                oct_lo=pred - 1, oct_hi=pred,
+            )
         self._match_against(frame, pos, desc, padded_ids, valid & fresh,
                             self.cfg.local_radius, keep_existing=True,
-                            mp_angle=mp_angle)
+                            mp_angle=mp_angle, **oct_kw)
         inl = self._pose_optimize(frame)
         found = frame.mp_ids[(frame.mp_ids >= 0) & frame.inlier]
         self.map.points.found[found] += 1
@@ -440,7 +501,7 @@ class Tracking:
         kf = self.map.keyframes.get(kid)
         if kf is None:
             return
-        self.last_frame.R = (R_rel @ kf.R).astype(np.float32)
+        self.last_frame.R = lie.np_normalize_rotation(R_rel @ kf.R)
         self.last_frame.t = (R_rel @ kf.t + t_rel).astype(np.float32)
 
     def _update_velocity(self, frame: Frame):
@@ -448,9 +509,9 @@ class Tracking:
         if lf is not None and lf.R is not None:
             R_lw, t_lw = lf.R, lf.t
             R_wl, t_wl = R_lw.T, -R_lw.T @ t_lw
-            Rv = frame.R @ R_wl
+            Rv = lie.np_normalize_rotation(frame.R @ R_wl)
             tv = frame.R @ t_wl + frame.t
-            self.velocity = (Rv.astype(np.float32), tv.astype(np.float32))
+            self.velocity = (Rv, tv.astype(np.float32))
 
     # -- keyframes -----------------------------------------------------------
 
@@ -465,6 +526,7 @@ class Tracking:
             ur=frame.ur.copy(),
             depth=frame.depth.copy(),
             angle=frame.angle.copy(),
+            octave=frame.octave.copy(),
             R=frame.R.copy(),
             t=frame.t.copy(),
             mp_ids=frame.mp_ids.copy(),
@@ -506,11 +568,36 @@ class Tracking:
 
     def _create_keyframe(self, frame: Frame):
         """CreateNewKeyFrame (/root/reference/src/Tracking.cc:3254): bind
-        tracked points, then create new close map points from depth."""
+        tracked points, then create new close map points from depth.
+
+        Creation-time dedup: a slot whose pixel sits within ~2 px of an
+        existing local-map point's projection spawns NO new landmark — at a
+        slightly drifted pose a fresh depth point there would duplicate the
+        existing one AND bake the drift into the map (the proven per-KF
+        error ratchet; the reference avoids most of this via Fuse, but
+        not creating the duplicate is cheaper and strictly safer)."""
         kf = self._make_keyframe(frame)
         ray = np.asarray(camera_ops.pinhole_unproject(self.cam, jnp.asarray(frame.kpts_un)))
         R_wc, t_wc = frame.R.T, -frame.R.T @ frame.t
         free = frame.valid & (frame.mp_ids < 0) & (frame.depth > 0)
+
+        # project the last local-map snapshot; suppress creation near any
+        # existing (even currently unmatched) landmark projection
+        local_ids = getattr(self, "_last_local_ids", None)
+        if local_ids is not None and len(local_ids):
+            alive = self.map.points.alive[local_ids]
+            pts = self.map.points.pos[local_ids[alive]]
+            if len(pts):
+                uv, vis = self._project_points(frame.R, frame.t, pts)
+                uv = uv[vis]
+                if len(uv):
+                    d2 = (
+                        (frame.kpts_un[:, None, 0] - uv[None, :, 0]) ** 2
+                        + (frame.kpts_un[:, None, 1] - uv[None, :, 1]) ** 2
+                    )
+                    near = d2.min(axis=1) < self.cfg.create_dedup_px ** 2
+                    free &= ~near
+
         depths = np.where(free, frame.depth, np.inf)
         order = np.argsort(depths)
         created = 0
@@ -523,7 +610,9 @@ class Tracking:
             Xc = ray[slot] * d
             Xw = (R_wc @ Xc + t_wc).astype(np.float32)
             mp = self.map.create_point(Xw, frame.desc[slot], kf.kid,
-                                       float(frame.angle[slot]))
+                                       float(frame.angle[slot]),
+                                       octave=int(frame.octave[slot]),
+                                       dist_ref=float(np.linalg.norm(Xc)))
             self.map.add_observation(mp, kf.kid, int(slot), update_links=False)
             frame.mp_ids[slot] = mp
             kf.mp_ids[slot] = mp
