@@ -14,10 +14,14 @@ CAM = camera.Pinhole.from_list([517.3, 516.5, 318.6, 255.3])
 K = np.array([[517.3, 0, 318.6], [0, 516.5, 255.3], [0, 0, 1]], np.float32)
 
 
-def build_loop_map(rng, n_kf=14, n_pts=400, drift_per_kf=0.012):
+def build_loop_map(rng, n_kf=14, n_pts=400, drift_per_kf=0.012,
+                   revisit_tail=2, period=None):
     """Camera walks a circle and returns to the start; odometry drift
-    accumulates; last KF re-observes the first KF's area. Returns
-    (map, gt poses, drift magnitude at loop closure)."""
+    accumulates; last KF re-observes the first KF's area. With period <
+    n_kf the trajectory wraps PAST 2*pi, so the last (n_kf - period) KFs
+    successively re-observe the first KFs' regions (multi-KF revisit for
+    temporal-consistency tests). Returns (map, gt poses, drifted poses)."""
+    period = period or n_kf
     # world points on a cylinder around the trajectory
     ang_pts = rng.uniform(0, 2 * np.pi, n_pts)
     r_pts = rng.uniform(2.0, 3.5, n_pts)
@@ -31,7 +35,7 @@ def build_loop_map(rng, n_kf=14, n_pts=400, drift_per_kf=0.012):
     # GT camera poses: slight circle, looking outward along +z rotated
     gt = []
     for i in range(n_kf):
-        ang = 2 * np.pi * i / n_kf
+        ang = 2 * np.pi * i / period
         cy, sy = np.cos(ang), np.sin(ang)
         R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
         C = 0.5 * np.array([np.sin(ang), 0.0, np.cos(ang) - 1.0], np.float32)
@@ -84,7 +88,7 @@ def build_loop_map(rng, n_kf=14, n_pts=400, drift_per_kf=0.012):
         # situation loop closure exists for (re-binding would make the
         # revisit covisible with KF0 and excluded from candidates, like a
         # tracked loop needs no closure).
-        revisit = i >= n_kf - 2
+        revisit = i >= n_kf - revisit_tail
         for slot, p in enumerate(sel):
             p = int(p)
             ray = np.array([(kpts[slot, 0] - 318.6) / 517.3,
@@ -111,7 +115,7 @@ class TestLoopClosing:
     def test_detection_and_correction(self, rng):
         m, gt, est = build_loop_map(rng)
         lc = LoopClosing(m, CAM, fix_scale=False, confirmations=1,
-                         run_gba=False)
+                         run_gba=False, proj_matches=25, proj_matches_strict=30)
         # feed keyframes in order (retrieval fills up); the last KF
         # re-observes KF0's region
         for kid in sorted(m.keyframes):
@@ -134,7 +138,7 @@ class TestLoopClosing:
         pre-correction poses, Optimizer.cc OptimizeEssentialGraph)."""
         m, gt, est = build_loop_map(rng)
         lc = LoopClosing(m, CAM, fix_scale=False, confirmations=1,
-                         run_gba=False)
+                         run_gba=False, proj_matches=25, proj_matches_strict=30)
         for kid in sorted(m.keyframes):
             lc.process_keyframe(kid)
         assert len(lc.closed) >= 1
@@ -168,7 +172,7 @@ class TestLoopClosing:
         (RunGlobalBundleAdjustment role, LoopClosing.cc:2268)."""
         m, gt, est = build_loop_map(rng)
         lc = LoopClosing(m, CAM, fix_scale=False, confirmations=1,
-                         run_gba=True)
+                         run_gba=True, proj_matches=25, proj_matches_strict=30)
         for kid in sorted(m.keyframes):
             lc.process_keyframe(kid)
         assert len(lc.closed) >= 1
@@ -188,10 +192,48 @@ class TestLoopClosing:
         for kid in [6, 7]:
             m.remove_keyframe(kid)
         lc = LoopClosing(m, CAM, fix_scale=False, confirmations=1,
-                         run_gba=False)
+                         run_gba=False, proj_matches=25, proj_matches_strict=30)
         for kid in sorted(m.keyframes):
             lc.process_keyframe(kid)
         assert len(lc.closed) == 0
+
+    def test_three_confirmations_then_close(self, rng):
+        """With the reference default confirmations=3, a loop closes only
+        after 3 consecutive keyframes verify against overlapping candidate
+        groups (LoopClosing.cc:396-444) — and it does close when they do."""
+        m, gt, est = build_loop_map(rng, n_kf=18, revisit_tail=4, period=14)
+        lc = LoopClosing(m, CAM, fix_scale=False, run_gba=False,
+                         proj_matches=25, proj_matches_strict=30)
+        assert lc.confirmations == 3
+        for kid in sorted(m.keyframes):
+            lc.process_keyframe(kid)
+        assert len(lc.closed) >= 1, (lc.detected, lc._consistent)
+        # the first TWO verifications must not have closed anything: the
+        # closing KF is at least 2 KFs after the first detection
+        first_detect = lc.detected[0][0]
+        assert lc.closed[0][0] >= first_detect + 2
+
+    def test_no_false_loop_on_self_similar_texture(self, rng):
+        """Adversarial: a far-away section REUSES the same descriptor bank
+        (speckle-alias scenario) with different geometry. Retrieval will
+        surface it; the Sim3 + guided-projection ladder must reject it."""
+        m, gt, est = build_loop_map(rng, n_kf=14, revisit_tail=0)
+        # rewrite the last 4 KFs' descriptors to duplicate KF0's bank but
+        # SHUFFLED across slots (same texture statistics, wrong geometry)
+        kf0 = m.keyframes[0]
+        perm = rng.permutation(len(kf0.desc))
+        for kid in [10, 11, 12, 13]:
+            kf = m.keyframes[kid]
+            kf.desc = kf0.desc[perm].copy()
+            kf.global_desc = None
+            kf.__post_init__()
+            for mp in kf.mp_ids[kf.mp_ids >= 0]:
+                m.points.desc[int(mp)] = kf.desc[m.obs[int(mp)][kid]]
+        lc = LoopClosing(m, CAM, fix_scale=False, confirmations=1,
+                         run_gba=False, proj_matches=25, proj_matches_strict=30)
+        for kid in sorted(m.keyframes):
+            lc.process_keyframe(kid)
+        assert len(lc.closed) == 0, lc.closed
 
 
 class TestMapMerge:

@@ -39,20 +39,31 @@ def _bucket(n: int, lo: int = 8) -> int:
 
 class LoopClosing:
     def __init__(self, slam_map, cam, bf: float = 40.0,
-                 fix_scale: bool = True, confirmations: int = 1,
-                 run_gba: bool = True, atlas=None):
+                 fix_scale: bool = True, confirmations: int = 3,
+                 run_gba: bool = True, atlas=None,
+                 proj_matches: int = 50, proj_matches_strict: int = 80):
+        """confirmations: consecutive temporally-consistent detections
+        required before correcting (reference default 3,
+        /root/reference/src/LoopClosing.cc:396-444). proj_matches /
+        proj_matches_strict: Sim3-guided projection re-search gates
+        (LoopClosing.cc:843-880, >=50 wide then >=80 strict)."""
         self.map = slam_map
         self.cam = cam
         self.bf = bf
         self.fix_scale = fix_scale  # RGBD/stereo: scale observable
         self.confirmations = confirmations
+        self.proj_matches = proj_matches
+        self.proj_matches_strict = proj_matches_strict
         self.run_gba = run_gba
         self.atlas = atlas  # enables cross-map candidates -> map merging
-        self.retrieval = Retrieval(dim=slam_map.desc_dim)
+        from .retrieval import global_desc_dim
+
+        self.retrieval = Retrieval(dim=global_desc_dim(slam_map.desc_dim))
         self.detected: List[tuple] = []  # (kid, cand) raw candidates
         self.closed: List[tuple] = []  # (kid, cand) corrected loops
         self.merged: List[tuple] = []  # (new_map_id, old_map_id)
-        self._consistent: Dict[int, int] = {}  # cand-group -> count
+        # temporal consistency: (candidate covisibility group, count, stamp)
+        self._consistent: List[Tuple[set, int, int]] = []
 
     # ------------------------------------------------------------------ main
 
@@ -61,31 +72,50 @@ class LoopClosing:
         if kf is None:
             return
         try:
-            if self.map.num_keyframes() >= 12 or (
-                self.atlas is not None and len(self.atlas.maps) > 1
-            ):
-                exclude = set(self.map.covisible_kfs(kid)) | {kid}
-                # temporal guard: recent KFs are trivially similar even when
-                # covisibility is sparse (the reference leans on covisibility
-                # exclusion alone because tracking guarantees overlap with
-                # recent KFs; this guard covers the sparse case)
-                exclude |= {k for k in self.map.keyframes if abs(k - kid) <= 5}
-                cands = self.retrieval.query(
+            exclude = set(self.map.covisible_kfs(kid)) | {kid}
+            # temporal guard: recent KFs are trivially similar even when
+            # covisibility is sparse (the reference leans on covisibility
+            # exclusion alone because tracking guarantees overlap with
+            # recent KFs; this guard covers the sparse case)
+            exclude |= {k for k in self.map.keyframes if abs(k - kid) <= 5}
+            if self.map.num_keyframes() >= 12:
+                # same-map loop candidates: covisibility-group accumulated
+                # scoring (DetectNBestCandidates, KeyFrameDatabase.cc:604)
+                for ckid, _score in self.retrieval.query_grouped(
+                    kf.global_desc, exclude,
+                    covisibles=self.map.covisible_kfs, top_n=3,
+                    map_id=self.map.map_id,
+                ):
+                    self.detected.append((kid, ckid))
+                    if self._verify_and_correct(kid, ckid):
+                        break
+            if self.atlas is not None and len(self.atlas.maps) > 1:
+                for ckid, cmap, _score in self.retrieval.query(
                     kf.global_desc, exclude, top_n=3, with_map=True,
                     exclude_map_id=self.map.map_id,
-                )
-                for ckid, cmap, _score in cands:
-                    if cmap == self.map.map_id:
-                        if self.map.num_keyframes() < 12:
-                            continue
-                        self.detected.append((kid, ckid))
-                        if self._verify_and_correct(kid, ckid):
-                            break
-                    elif self.atlas is not None and cmap in self.atlas.maps:
+                ):
+                    if cmap != self.map.map_id and cmap in self.atlas.maps:
                         if self._verify_and_merge(kid, ckid, cmap):
                             break
         finally:
             self.retrieval.add(kid, kf.global_desc, self.map.map_id)
+
+    def _update_consistency(self, kid: int, ckid: int) -> int:
+        """Temporal-consistency counting over covisibility groups
+        (LoopClosing.cc:396-444): a verified candidate whose covisibility
+        group overlaps a previously-verified group continues that chain."""
+        group = {ckid} | set(self.map.covisible_kfs(ckid))
+        best = 0
+        for g, c, _stamp in self._consistent:
+            if g & group:
+                best = max(best, c)
+        count = best + 1
+        self._consistent.append((group, count, kid))
+        # drop chains not refreshed within the last few keyframes
+        self._consistent = [
+            (g, c, s) for (g, c, s) in self._consistent if kid - s <= 3
+        ]
+        return count
 
     # ---------------------------------------------------------- verification
 
@@ -153,16 +183,66 @@ class LoopClosing:
         )
         if int(n_inl) < 20:  # OptimizeSim3 gate (:808)
             return False
-        # temporal consistency (reference: 3 consecutive KFs, :396-444)
-        group = ckid
-        self._consistent[group] = self._consistent.get(group, 0) + 1
-        if self._consistent[group] < self.confirmations:
+        # Sim3-guided projection re-search (LoopClosing.cc:843-880): project
+        # the loop window's landmarks into the current KF through the
+        # verified Sim3 — a TRUE loop re-finds most of the old structure; a
+        # texture alias that survived the pairwise gates does not.
+        s, R, t = float(s), np.asarray(R), np.asarray(t)
+        m_wide = self._guided_proj_count(kid, ckid, s, R, t, radius=8.0)
+        if m_wide < self.proj_matches:
             return False
-        self._consistent.pop(group, None)
+        m_strict = self._guided_proj_count(kid, ckid, s, R, t, radius=4.0)
+        if m_strict < self.proj_matches_strict:
+            return False
+        # temporal consistency (reference: 3 consecutive KFs, :396-444)
+        if self._update_consistency(kid, ckid) < self.confirmations:
+            return False
+        self._consistent.clear()
 
-        self._correct_loop(kid, ckid, float(s), np.asarray(R), np.asarray(t))
+        self._correct_loop(kid, ckid, s, R, t)
         self.closed.append((kid, ckid))
         return True
+
+    def _guided_proj_count(self, kid: int, ckid: int, s12, R12, t12,
+                           radius: float) -> int:
+        """Count matches from projecting the loop window's map points into
+        the current KF through the verified Sim3 (SearchByProjection Sim3
+        overload, /root/reference/src/ORBmatcher.cc:612,719)."""
+        m = self.map
+        kf1 = m.keyframes[kid]
+        mps: List[int] = []
+        for k in [ckid] + m.covisible_kfs(ckid, 10):
+            kf = m.keyframes.get(k)
+            if kf is None:
+                continue
+            mps.extend(int(x) for x in kf.mp_ids[kf.mp_ids >= 0])
+        mps = [p for p in dict.fromkeys(mps) if m.points.alive[p]][:4096]
+        if not mps:
+            return 0
+        kf2 = m.keyframes[ckid]
+        pos = m.points.pos[mps]
+        # corrected current-camera coords: X_c1 = S12(X_c2)
+        Xc2 = pos @ kf2.R.T + kf2.t
+        Xc1 = s12 * (Xc2 @ np.asarray(R12).T) + np.asarray(t12)
+        z = Xc1[:, 2]
+        vis = z > 0.05
+        zs = np.where(vis, z, 1.0)
+        u = float(self.cam.fx) * Xc1[:, 0] / zs + float(self.cam.cx)
+        v = float(self.cam.fy) * Xc1[:, 1] / zs + float(self.cam.cy)
+        uv = np.stack([u, v], -1).astype(np.float32)
+        binary = m.desc_dim > 64
+        res = matching.search_by_projection(
+            jnp.asarray(uv), jnp.asarray(m.points.desc[mps]),
+            jnp.asarray(vis & m.points.alive[mps]),
+            jnp.asarray(kf1.kpts_un), jnp.asarray(kf1.desc),
+            jnp.asarray(kf1.valid),
+            radius=jnp.float32(radius),
+            max_dist=jnp.float32(
+                matching.ORB_TH_LOW if binary else matching.TH_LOW * 6
+            ),
+            ratio=0.9, binary=binary,
+        )
+        return int(np.asarray(res.mask).sum())
 
     # ------------------------------------------------------------ correction
 

@@ -40,8 +40,9 @@ class KeyFrame:
     loop_edges: Set[int] = field(default_factory=set)
     merge_edges: Set[int] = field(default_factory=set)
     bad: bool = False
-    # retrieval descriptor (mean of valid descs) — float-native replacement
-    # for the BoW vector (SURVEY.md §2.3.3)
+    # retrieval descriptor (VLAD over a fixed random codebook) — the
+    # float-native replacement for the BoW vector (SURVEY.md §2.3.3; see
+    # retrieval.aggregate_global_desc)
     global_desc: np.ndarray = None
 
     def __post_init__(self):
@@ -52,10 +53,9 @@ class KeyFrame:
         if self.mp_ids is None:
             self.mp_ids = np.full(len(self.kpts_un), -1, np.int64)
         if self.global_desc is None:
-            d = self.desc[self.valid]
-            g = d.mean(0) if len(d) else np.zeros(self.desc.shape[1], np.float32)
-            n = np.linalg.norm(g)
-            self.global_desc = (g / n if n > 1e-9 else g).astype(np.float32)
+            from .retrieval import aggregate_global_desc
+
+            self.global_desc = aggregate_global_desc(self.desc, self.valid)
 
     def center(self) -> np.ndarray:
         return (-self.R.T @ self.t).astype(np.float32)

@@ -4,17 +4,70 @@ Replaces DBoW2 (/root/reference/thirdparty/DBoW2/) and KeyFrameDatabase
 (/root/reference/src/KeyFrameDatabase.cc). The reference feeds XFeat float
 descriptors through a binary ORB vocabulary by reinterpreting the first 32
 bytes as bits (SURVEY.md §2.3.3) — quantization is essentially arbitrary.
-Here retrieval is designed for floats: each KF gets a global descriptor
-(mean of its local descriptors today; field for a learned aggregate), and
-queries are one cosine-similarity matmul over all stored KFs — brute force
-is exact and fast at SLAM scale (hundreds of KFs), and it batches on TPU.
+Here retrieval is designed for floats:
+
+- Each KF gets a **VLAD global descriptor** over a fixed random codebook
+  (``aggregate_global_desc``): local descriptors are assigned to their
+  nearest of K unit anchors and the per-anchor residual sums are intra- and
+  globally L2-normalized. Mean pooling (round 1) collapses hundreds of
+  near-orthogonal descriptors into noise; VLAD keeps the *which-words-with-
+  which-residuals* structure that makes DBoW2's tf-idf tree discriminative,
+  with no training data needed.
+- Queries are one cosine-similarity matmul over all stored KFs — brute
+  force is exact and fast at SLAM scale (hundreds of KFs) and batches on
+  TPU.
+- ``query_grouped`` reproduces DetectNBestCandidates' covisibility-group
+  accumulated scoring (/root/reference/src/KeyFrameDatabase.cc:604-733):
+  candidate scores accumulate over covisibility groups and each group
+  contributes its best-scoring member.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Callable, Dict, List, Optional, Set, Tuple
 
 import numpy as np
+
+N_ANCHORS = 16
+_ANCHORS: Dict[int, np.ndarray] = {}
+
+
+def _anchors(dim: int) -> np.ndarray:
+    """Fixed random unit codebook (seeded — identical across processes so
+    serialized maps stay queryable)."""
+    a = _ANCHORS.get(dim)
+    if a is None:
+        rng = np.random.default_rng(12345)
+        a = rng.standard_normal((N_ANCHORS, dim)).astype(np.float32)
+        a /= np.linalg.norm(a, axis=-1, keepdims=True)
+        _ANCHORS[dim] = a
+    return a
+
+
+def aggregate_global_desc(desc: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """VLAD aggregate of a frame/KF's local descriptors -> (N_ANCHORS*dim,)
+    unit vector. Works for float (XFeat, unit 64-d) and binary (ORB 256-d
+    0/1) descriptors alike."""
+    dim = desc.shape[1]
+    d = desc[valid].astype(np.float32)
+    out_dim = N_ANCHORS * dim
+    if len(d) == 0:
+        return np.zeros(out_dim, np.float32)
+    norms = np.linalg.norm(d, axis=-1, keepdims=True)
+    d = d / np.maximum(norms, 1e-9)
+    C = _anchors(dim)
+    assign = np.argmax(d @ C.T, axis=-1)  # (N,)
+    v = np.zeros((N_ANCHORS, dim), np.float32)
+    np.add.at(v, assign, d - C[assign])
+    # intra-normalization tames burstiness (Arandjelovic & Zisserman 2013)
+    v /= np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+    v = v.reshape(-1)
+    n = np.linalg.norm(v)
+    return (v / n if n > 1e-9 else v).astype(np.float32)
+
+
+def global_desc_dim(desc_dim: int) -> int:
+    return N_ANCHORS * desc_dim
 
 
 class Retrieval:
@@ -82,6 +135,51 @@ class Retrieval:
                 out.append((kid, int(self.map_ids[i]), float(sims[i])))
             else:
                 out.append((kid, float(sims[i])))
+            if len(out) >= top_n:
+                break
+        return out
+
+    def query_grouped(self, gdesc: np.ndarray, exclude: Set[int],
+                      covisibles: Callable[[int], List[int]],
+                      top_n: int = 3, min_score: float = 0.30,
+                      map_id: Optional[int] = None):
+        """DetectNBestCandidates semantics
+        (/root/reference/src/KeyFrameDatabase.cc:604-733): score candidates
+        individually, accumulate scores over each candidate's covisibility
+        group (candidate + up to 10 best covisibles that also scored), and
+        return the best-scoring member of each of the top-N groups.
+        Restricted to one map (pass map_id); cross-map merge candidates go
+        through plain `query(with_map=True)`."""
+        if self.n == 0:
+            return []
+        sims = self.descs[: self.n] @ gdesc
+        score_of: Dict[int, float] = {}
+        for i in range(self.n):
+            kid = int(self.kids[i])
+            if kid < 0 or (map_id is not None and int(self.map_ids[i]) != map_id):
+                continue
+            if kid in exclude or sims[i] < min_score:
+                continue
+            score_of[kid] = float(sims[i])
+        if not score_of:
+            return []
+        groups = []  # (acc_score, best_kid, best_score)
+        for kid, s in score_of.items():
+            acc, best_kid, best_s = s, kid, s
+            for ck in covisibles(kid)[:10]:
+                cs = score_of.get(ck)
+                if cs is not None:
+                    acc += cs
+                    if cs > best_s:
+                        best_kid, best_s = ck, cs
+            groups.append((acc, best_kid, best_s))
+        groups.sort(reverse=True)
+        out, seen = [], set()
+        for acc, best_kid, best_s in groups:
+            if best_kid in seen:
+                continue
+            seen.add(best_kid)
+            out.append((best_kid, best_s))
             if len(out) >= top_n:
                 break
         return out

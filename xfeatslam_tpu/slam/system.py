@@ -226,7 +226,11 @@ class System:
         # rebuild retrieval over loaded keyframes
         if self.loop_closing is not None:
             self.loop_closing.map = self.map
-            retr = type(self.loop_closing.retrieval)(dim=self.map.desc_dim)
+            from .retrieval import global_desc_dim
+
+            retr = type(self.loop_closing.retrieval)(
+                dim=global_desc_dim(self.map.desc_dim)
+            )
             for kid in sorted(self.map.keyframes):
                 retr.add(kid, self.map.keyframes[kid].global_desc)
             self.loop_closing.retrieval = retr

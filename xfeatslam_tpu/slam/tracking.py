@@ -769,17 +769,22 @@ class Tracking:
             maps = [self.atlas.active] + [
                 m for m in self.atlas.all_maps() if m is not self.atlas.active
             ]
-        gdesc = frame.desc[frame.valid]
-        if len(gdesc) < 30:
+        if int(frame.valid.sum()) < 30:
             return False
-        g = gdesc.mean(0)
-        g /= max(np.linalg.norm(g), 1e-9)
+        from .retrieval import aggregate_global_desc
+
+        g = aggregate_global_desc(frame.desc, frame.valid)
 
         for m in maps:
             cands = []
             if self.retrieval is not None and m is self.map:
-                cands = [k for k, _s in self.retrieval.query(g, set(), top_n=3,
-                                                             min_score=0.5)]
+                # covisibility-group scoring with a relative cutoff
+                # (DetectRelocalizationCandidates role,
+                # /root/reference/src/KeyFrameDatabase.cc:733-857)
+                cands = [k for k, _s in self.retrieval.query_grouped(
+                    g, set(), covisibles=m.covisible_kfs, top_n=5,
+                    min_score=0.3, map_id=m.map_id,
+                )]
             if not cands:
                 # fallback: brute-force cosine over the map's KFs
                 kfs = list(m.keyframes.values())
