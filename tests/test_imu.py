@@ -124,3 +124,66 @@ class TestPreintegration:
         # symmetric PSD-ish
         c = np.asarray(pre_long.cov)
         np.testing.assert_allclose(c, c.T, atol=1e-10)
+
+
+class TestMergeAndCovariance:
+    def test_cov_is_15x15_with_bias_walk(self, rng):
+        import jax.numpy as jnp
+        from xfeatslam_tpu.ops import imu
+
+        N = 50
+        acc = np.tile(np.array([0.0, 0.0, 9.81], np.float32), (N, 1))
+        gyro = np.zeros((N, 3), np.float32)
+        dts = np.full(N, 0.005, np.float32)
+        pre = imu.preintegrate(jnp.asarray(acc), jnp.asarray(gyro),
+                               jnp.asarray(dts), jnp.ones(N, bool),
+                               jnp.zeros(3), jnp.zeros(3))
+        c = np.asarray(pre.cov)
+        assert c.shape == (15, 15)
+        # bias random-walk accumulates linearly in time on the diagonal
+        assert (np.diag(c)[9:] > 0).all()
+        pre2 = imu.preintegrate(jnp.asarray(np.tile(acc, (2, 1))),
+                                jnp.asarray(np.tile(gyro, (2, 1))),
+                                jnp.asarray(np.tile(dts, 2)),
+                                jnp.ones(2 * N, bool),
+                                jnp.zeros(3), jnp.zeros(3))
+        c2 = np.asarray(pre2.cov)
+        np.testing.assert_allclose(np.diag(c2)[9:], 2 * np.diag(c)[9:],
+                                   rtol=1e-4)
+
+    def test_merge_previous_matches_one_shot(self, rng):
+        import jax.numpy as jnp
+        from xfeatslam_tpu.ops import imu
+
+        N = 80
+        t = np.arange(N) * 0.005
+        acc = np.stack([0.3 * np.sin(3 * t), 0.2 * np.cos(2 * t),
+                        9.81 + 0.1 * np.sin(t)], -1).astype(np.float32)
+        gyro = np.stack([0.1 * np.cos(t), 0.05 * np.sin(2 * t),
+                         0.2 * np.ones(N)], -1).astype(np.float32)
+        dts = np.full(N, 0.005, np.float32)
+        bg = jnp.zeros(3)
+        ba = jnp.zeros(3)
+
+        pre_all = imu.preintegrate(jnp.asarray(acc), jnp.asarray(gyro),
+                                   jnp.asarray(dts), jnp.ones(N, bool), bg, ba)
+        pre_a = imu.preintegrate(jnp.asarray(acc[:40]), jnp.asarray(gyro[:40]),
+                                 jnp.asarray(dts[:40]), jnp.ones(40, bool), bg, ba)
+        pre_b = imu.preintegrate(jnp.asarray(acc[40:]), jnp.asarray(gyro[40:]),
+                                 jnp.asarray(dts[40:]), jnp.ones(40, bool), bg, ba)
+        merged = imu.merge_previous(pre_a, pre_b)
+
+        np.testing.assert_allclose(float(merged.dt), float(pre_all.dt), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(merged.dR), np.asarray(pre_all.dR),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(merged.dV), np.asarray(pre_all.dV),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(merged.dP), np.asarray(pre_all.dP),
+                                   atol=1e-4)
+        # bias Jacobians chain too: check against one-shot by finite-diff use
+        db = np.array([0.01, -0.02, 0.015], np.float32)
+        dRm, dVm, dPm = imu.delta_with_bias(merged, jnp.asarray(db), jnp.asarray(db))
+        dRo, dVo, dPo = imu.delta_with_bias(pre_all, jnp.asarray(db), jnp.asarray(db))
+        np.testing.assert_allclose(np.asarray(dVm), np.asarray(dVo), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(dPm), np.asarray(dPo), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(dRm), np.asarray(dRo), atol=2e-3)

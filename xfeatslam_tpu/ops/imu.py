@@ -45,7 +45,11 @@ class Preintegrated(NamedTuple):
     dR: jnp.ndarray  # (3,3)
     dV: jnp.ndarray  # (3,)
     dP: jnp.ndarray  # (3,)
-    cov: jnp.ndarray  # (9,9) [rot, vel, pos] preintegration covariance
+    # (15,15) [rot, vel, pos, bg, ba] covariance: the 9x9 preintegration
+    # block propagated per sample plus bias random-walk blocks
+    # (ImuTypes.cc:202-245 propagates the full 15x15 with C.block<6,6>(9,9)
+    # accumulating the walk)
+    cov: jnp.ndarray
     # bias Jacobians (ImuTypes.cc:238-245)
     JRg: jnp.ndarray  # (3,3) d dR / d bg
     JVg: jnp.ndarray
@@ -71,16 +75,22 @@ def _right_jacobian(phi):
 
 @functools.partial(jax.jit, static_argnames=())
 def preintegrate(acc, gyro, dts, valid, bg, ba,
-                 noise_gyro=1.7e-4, noise_acc=2.0e-3):
+                 noise_gyro=1.7e-4, noise_acc=2.0e-3,
+                 walk_gyro=1.9e-5, walk_acc=3.0e-3):
     """Integrate a padded window of IMU samples.
 
     Args:
       acc, gyro: (N,3) measurements; dts: (N,) per-sample intervals;
       valid: (N,) bool mask (padding); bg, ba: (3,) linearization biases.
-    Returns Preintegrated (IntegrateNewMeasurement semantics as a scan).
+    Returns Preintegrated (IntegrateNewMeasurement semantics as a scan)
+    with the full 15x15 covariance [rot, vel, pos, bg, ba]: the 9x9 block
+    propagated through the A/B system and the bias block accumulating the
+    random walk (ImuTypes.cc:202-245).
     """
     ng2 = noise_gyro * noise_gyro
     na2 = noise_acc * noise_acc
+    wg2 = walk_gyro * walk_gyro
+    wa2 = walk_acc * walk_acc
 
     def step(carry, x):
         dR, dV, dP, cov, JRg, JVg, JVa, JPg, JPa, T = carry
@@ -110,7 +120,12 @@ def preintegrate(acc, gyro, dts, valid, bg, ba,
         B = B.at[3:6, 3:6].set(dR * dt)
         B = B.at[6:9, 3:6].set(0.5 * dR * dt * dt)
         Nga = jnp.diag(jnp.array([ng2, ng2, ng2, na2, na2, na2])) / jnp.maximum(dt, 1e-6)
-        cov_new = A @ cov @ A.T + B @ Nga @ B.T
+        c9 = A @ cov[:9, :9] @ A.T + B @ Nga @ B.T
+        # bias random walk accumulates in the (9:15, 9:15) block
+        # (ImuTypes.cc:233-235: C.block<6,6>(9,9) += NgaWalk)
+        walk = jnp.diag(jnp.array([wg2, wg2, wg2, wa2, wa2, wa2])) * jnp.maximum(dt, 0.0)
+        cov_new = cov.at[:9, :9].set(c9)
+        cov_new = cov_new.at[9:, 9:].add(walk)
         cov_new = jnp.where(v, cov_new, cov)
 
         # bias jacobians (ImuTypes.cc:238-245)
@@ -132,7 +147,7 @@ def preintegrate(acc, gyro, dts, valid, bg, ba,
         )
         return out, None
 
-    init = (jnp.eye(3), jnp.zeros(3), jnp.zeros(3), jnp.zeros((9, 9)),
+    init = (jnp.eye(3), jnp.zeros(3), jnp.zeros(3), jnp.zeros((15, 15)),
             jnp.zeros((3, 3)), jnp.zeros((3, 3)), jnp.zeros((3, 3)),
             jnp.zeros((3, 3)), jnp.zeros((3, 3)), jnp.float32(0.0))
     (dR, dV, dP, cov, JRg, JVg, JVa, JPg, JPa, T), _ = lax.scan(
@@ -140,6 +155,46 @@ def preintegrate(acc, gyro, dts, valid, bg, ba,
     )
     dR = lie.normalize_rotation(dR)
     return Preintegrated(T, dR, dV, dP, cov, JRg, JVg, JVa, JPg, JPa, bg, ba)
+
+
+def merge_previous(prev: Preintegrated, cur: Preintegrated) -> Preintegrated:
+    """Concatenate two consecutive preintegrations (MergePrevious role,
+    /root/reference/src/ImuTypes.cc): combined delta over [t0, t2] at the
+    CURRENT segment's linearization bias.
+
+    Composition rules (both re-expressed at bias (cur.bg, cur.ba)):
+      dR = dR1 dR2;  dV = dV1 + dR1 dV2;  dP = dP1 + dV1*dt2 + dR1 dP2.
+    Covariance: second segment's 9x9 transported through the composition
+    Jacobian of the first; bias Jacobians chain accordingly.
+    """
+    dR1, dV1, dP1 = delta_with_bias(prev, cur.bg, cur.ba)
+    dR2, dV2, dP2 = cur.dR, cur.dV, cur.dP
+    t2 = cur.dt
+    dR = lie.normalize_rotation(dR1 @ dR2)
+    dV = dV1 + dR1 @ dV2
+    dP = dP1 + dV1 * t2 + dR1 @ dP2
+
+    # transport: state_2 = F @ state_1 + G @ state_seg2
+    F = jnp.eye(15)
+    F = F.at[0:3, 0:3].set(dR2.T)
+    F = F.at[3:6, 3:6].set(jnp.eye(3))
+    F = F.at[6:9, 3:6].set(jnp.eye(3) * t2)
+    G = jnp.eye(15)
+    G = G.at[3:6, 3:6].set(dR1)
+    G = G.at[6:9, 6:9].set(dR1)
+    cov = F @ prev.cov @ F.T + G @ cur.cov @ G.T
+    # keep the larger bias-walk block only once (G already carried cur's)
+    cov = cov.at[9:, 9:].set(prev.cov[9:, 9:] + cur.cov[9:, 9:])
+
+    # chained bias Jacobians
+    JRg = dR2.T @ prev.JRg + cur.JRg
+    JVg = prev.JVg + dR1 @ cur.JVg - dR1 @ lie.so3_hat(dV2) @ prev.JRg
+    JVa = prev.JVa + dR1 @ cur.JVa
+    JPg = (prev.JPg + prev.JVg * t2 + dR1 @ cur.JPg
+           - dR1 @ lie.so3_hat(dP2) @ prev.JRg)
+    JPa = prev.JPa + prev.JVa * t2 + dR1 @ cur.JPa
+    return Preintegrated(prev.dt + cur.dt, dR, dV, dP, cov,
+                         JRg, JVg, JVa, JPg, JPa, cur.bg, cur.ba)
 
 
 def delta_with_bias(pre: Preintegrated, bg_new, ba_new):

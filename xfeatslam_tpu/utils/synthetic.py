@@ -218,3 +218,102 @@ def make_sequence(n_frames: int = 60, hw=(480, 640), K=None, seed: int = 0,
         "poses": poses,
         "K": K,
     }
+
+
+def make_imu_trajectory(n_kf: int = 16, kf_dt: float = 0.25,
+                        imu_rate: float = 200.0, seed: int = 0,
+                        g_dir=None, bg=None, ba=None,
+                        noise_gyro: float = 0.0, noise_acc: float = 0.0):
+    """Synthetic smooth body trajectory + consistent IMU measurements.
+
+    The world frame's gravity is g = 9.81 * g_dir (default a tilted
+    direction, NOT -z, so gravity-direction estimation is non-trivial).
+    Angular velocity is defined analytically and the rotation is integrated
+    at the IMU rate, so gyro measurements are exact by construction;
+    accelerometer measurements come from the analytic second derivative of
+    the position spline: a_body = R_wb^T (p_ddot - g).
+
+    Returns dict:
+      t_kf (K,), R_wb (K,3,3), p_wb (K,3), v_w (K,3),
+      imu: list of K-1 dicts {acc (N,3), gyro (N,3), dts (N,)} per segment
+      g_w (3,), bg, ba (injected biases, added to the measurements)
+    """
+    rng = np.random.default_rng(seed)
+    if g_dir is None:
+        g_dir = np.array([0.15, -0.1, -0.98])
+    g_dir = np.asarray(g_dir, np.float64)
+    g_dir /= np.linalg.norm(g_dir)
+    g_w = 9.81 * g_dir
+    bg = np.zeros(3) if bg is None else np.asarray(bg, np.float64)
+    ba = np.zeros(3) if ba is None else np.asarray(ba, np.float64)
+
+    def pos(t):
+        return np.array([0.8 * np.sin(0.9 * t),
+                         0.5 * np.cos(0.7 * t),
+                         0.3 * np.sin(0.5 * t) + 0.1 * t])
+
+    def vel(t):
+        return np.array([0.8 * 0.9 * np.cos(0.9 * t),
+                         -0.5 * 0.7 * np.sin(0.7 * t),
+                         0.3 * 0.5 * np.cos(0.5 * t) + 0.1])
+
+    def accel(t):
+        return np.array([-0.8 * 0.81 * np.sin(0.9 * t),
+                         -0.5 * 0.49 * np.cos(0.7 * t),
+                         -0.3 * 0.25 * np.sin(0.5 * t)])
+
+    def omega(t):  # body angular velocity (rad/s), analytic
+        return np.array([0.3 * np.sin(0.6 * t),
+                         0.25 * np.cos(0.8 * t),
+                         0.4 * np.sin(0.4 * t)])
+
+    def so3_exp(phi):
+        th = np.linalg.norm(phi)
+        K = np.array([[0, -phi[2], phi[1]], [phi[2], 0, -phi[0]],
+                      [-phi[1], phi[0], 0]])
+        if th < 1e-12:
+            return np.eye(3) + K
+        return (np.eye(3) + np.sin(th) / th * K
+                + (1 - np.cos(th)) / (th * th) * (K @ K))
+
+    dt = 1.0 / imu_rate
+    total = (n_kf - 1) * kf_dt
+    n_steps = int(round(total / dt))
+    R = np.eye(3)
+    Rs = [R.copy()]
+    ts = [0.0]
+    for i in range(n_steps):
+        t = i * dt
+        R = R @ so3_exp(omega(t) * dt)
+        Rs.append(R.copy())
+        ts.append((i + 1) * dt)
+    Rs = np.stack(Rs)
+    ts = np.asarray(ts)
+
+    steps_per_seg = int(round(kf_dt / dt))
+    kf_idx = np.arange(n_kf) * steps_per_seg
+    t_kf = ts[kf_idx]
+    R_wb = Rs[kf_idx].astype(np.float32)
+    p_wb = np.stack([pos(t) for t in t_kf]).astype(np.float32)
+    v_w = np.stack([vel(t) for t in t_kf]).astype(np.float32)
+
+    segments = []
+    for k in range(n_kf - 1):
+        i0, i1 = kf_idx[k], kf_idx[k + 1]
+        accs, gyrs, dtss = [], [], []
+        for i in range(i0, i1):
+            t = ts[i]
+            a_w = accel(t) - g_w
+            a_b = Rs[i].T @ a_w + ba + noise_acc * rng.standard_normal(3)
+            w_b = omega(t) + bg + noise_gyro * rng.standard_normal(3)
+            accs.append(a_b)
+            gyrs.append(w_b)
+            dtss.append(dt)
+        segments.append(dict(
+            acc=np.asarray(accs, np.float32),
+            gyro=np.asarray(gyrs, np.float32),
+            dts=np.asarray(dtss, np.float32),
+        ))
+    return dict(t_kf=t_kf, R_wb=R_wb, p_wb=p_wb, v_w=v_w, imu=segments,
+                g_w=g_w.astype(np.float32), bg=bg.astype(np.float32),
+                ba=ba.astype(np.float32))
