@@ -39,6 +39,9 @@ class Pinhole(NamedTuple):
         vals = [jnp.float32(v) for v in vals] + [jnp.float32(0.0)] * (9 - len(vals))
         return Pinhole(*vals[:9])
 
+    def params_list(self):
+        return [float(p) for p in self]
+
     @property
     def K(self):
         z = jnp.zeros_like(self.fx)
@@ -69,6 +72,22 @@ class KannalaBrandt8(NamedTuple):
     @staticmethod
     def from_list(vals):
         return KannalaBrandt8(*[jnp.float32(v) for v in vals])
+
+    def params_list(self):
+        return [float(p) for p in self]
+
+    @property
+    def K(self):
+        z = jnp.zeros_like(self.fx)
+        o = jnp.ones_like(self.fx)
+        return jnp.stack(
+            [
+                jnp.stack([self.fx, z, self.cx], -1),
+                jnp.stack([z, self.fy, self.cy], -1),
+                jnp.stack([z, z, o], -1),
+            ],
+            -2,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -232,6 +251,58 @@ def kb8_project_jac(cam: KannalaBrandt8, Xc):
 
 
 # Generic dispatch helpers ---------------------------------------------------
+
+def stereo_triangulate_matches(cam1, cam2, uv1, uv2, R12, t12,
+                               sigma2_1=1.0, sigma2_2=1.0,
+                               min_parallax_cos: float = 0.9998):
+    """Batched KannalaBrandt8::TriangulateMatches
+    (/root/reference/src/CameraModels/KannalaBrandt8.cpp:309-375): for N
+    matched keypoint pairs of a (possibly fisheye) stereo rig with extrinsic
+    T12 (camera1<-camera2), unproject both rays, gate by parallax,
+    triangulate (DLT on normalized coordinates, camera-1 frame), and gate by
+    chirality + chi2 reprojection in both views.
+
+    Where the reference loops matches calling a scalar routine, this is one
+    vectorized graph over all N pairs (works for Pinhole too).
+
+    Returns (X (N,3) points in camera-1 frame, depth (N,) z in camera 1,
+    ok (N,) bool).
+    """
+    r1 = unproject(cam1, uv1)  # (N,3), z=1-normalized
+    r2 = unproject(cam2, uv2)
+    r21 = r2 @ R12.T
+    cosp = jnp.sum(r1 * r21, -1) / (
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r21, axis=-1) + _EPS
+    )
+    ok = cosp <= min_parallax_cos
+
+    # DLT in normalized image coordinates: P1 = [I|0], P2 = [R21|-R21 t12]
+    R21 = R12.T
+    t2 = -R21 @ t12
+    x1, y1 = r1[..., 0], r1[..., 1]
+    x2, y2 = r2[..., 0], r2[..., 1]
+    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1)
+    P2 = jnp.concatenate([R21, t2[:, None]], 1)
+    rows = jnp.stack([
+        x1[..., None] * P1[2] - P1[0],
+        y1[..., None] * P1[2] - P1[1],
+        x2[..., None] * P2[2] - P2[0],
+        y2[..., None] * P2[2] - P2[1],
+    ], -2)  # (N,4,4)
+    _u, _s, vh = jnp.linalg.svd(rows)
+    Xh = vh[..., -1, :]
+    X = Xh[..., :3] / jnp.where(jnp.abs(Xh[..., 3:]) < _EPS, _EPS, Xh[..., 3:])
+
+    z1 = X[..., 2]
+    X2 = X @ R21.T + t2
+    z2 = X2[..., 2]
+    ok &= (z1 > 0) & (z2 > 0)
+    e1 = project(cam1, X) - uv1
+    e2 = project(cam2, X2) - uv2
+    ok &= jnp.sum(e1 * e1, -1) <= 5.991 * sigma2_1
+    ok &= jnp.sum(e2 * e2, -1) <= 5.991 * sigma2_2
+    return X, z1, ok
+
 
 def project(cam, Xc):
     if isinstance(cam, Pinhole):

@@ -40,6 +40,11 @@ class Frame:
     t: Optional[np.ndarray] = None
     mp_ids: np.ndarray = None  # (K,) int64 map-point binding, -1 free
     inlier: np.ndarray = None  # (K,) bool after pose opt
+    # inertial state (Frame.h mVw/mImuBias/mpImuPreintegratedFrame)
+    v_w: Optional[np.ndarray] = None  # (3,) body velocity in world
+    bg: Optional[np.ndarray] = None  # (3,) gyro bias
+    ba: Optional[np.ndarray] = None  # (3,) acc bias
+    pre_last: object = None  # Preintegrated from the previous frame
 
     def __post_init__(self):
         K = len(self.kpts)
@@ -89,17 +94,30 @@ class FramePipeline:
     def _extract(self, gray: np.ndarray):
         """Run the configured extractor. The XFeat path fuses extraction +
         undistortion in one jitted graph; other backends (ORB) extract then
-        undistort separately."""
+        undistort separately. KB8 (fisheye) keypoints stay raw — the camera
+        model unprojects them directly (the reference skips
+        UndistortKeyPoints when mDistCoef is empty, Frame.cc:734)."""
+        fisheye = isinstance(self.cam, camera_ops.KannalaBrandt8)
         if hasattr(self.extractor, "params"):
+            if fisheye:
+                x = image_ops.to_float_image(gray)
+                out = extract_fn(self.extractor.params, x,
+                                 self.extractor.nfeatures)
+                out = {k: np.asarray(v) for k, v in out.items()}
+                out["kpts_un"] = out["kpts"]
+                return out
             x = image_ops.to_float_image(gray)
             out = _extract_and_undistort(
                 self.extractor.params, x, self.cam, self.extractor.nfeatures
             )
             return {k: np.asarray(v) for k, v in out.items()}
         out = self.extractor(gray)
-        out["kpts_un"] = np.asarray(
-            camera_ops.undistort_points(self.cam, jnp.asarray(out["kpts"]))
-        )
+        if fisheye:
+            out["kpts_un"] = out["kpts"]
+        else:
+            out["kpts_un"] = np.asarray(
+                camera_ops.undistort_points(self.cam, jnp.asarray(out["kpts"]))
+            )
         return out
 
     def build_rgbd(self, gray: np.ndarray, depth_raw: np.ndarray,
@@ -192,6 +210,86 @@ class FramePipeline:
             valid=out_l["valid"][0],
             depth=d.astype(np.float32),
             ur=ur.astype(np.float32),
+            angle=out_l.get("angle", np.zeros((1, K), np.float32))[0],
+            octave=oct_l.astype(np.int32),
+        )
+        self._next_id += 1
+        return f
+
+    def build_stereo_fisheye(self, gray_l: np.ndarray, gray_r: np.ndarray,
+                             timestamp: float, cam2, T_c1_c2: np.ndarray,
+                             lapping1=None, lapping2=None,
+                             max_dist: float = None) -> Frame:
+        """Two-camera (KannalaBrandt8) stereo frame: the role of the
+        stereo-fisheye Frame ctor + ComputeStereoFishEyeMatches
+        (/root/reference/src/Frame.cc:1227-1391). Extract both views, match
+        descriptors restricted to the lapping columns, triangulate every
+        match in ONE batched device call
+        (ops/camera.stereo_triangulate_matches — the reference loops a
+        scalar TriangulateMatches per pair, KannalaBrandt8.cpp:309); left
+        keypoints whose triangulation survives carry metric depth.
+
+        Design note: the reference additionally keeps right-camera keypoints
+        as independent observations (Nleft+Nright frames); here the right
+        view contributes depth only — the depth-carrying left frame drives
+        the same initialization/point-creation path as RGB-D.
+        """
+        from ..ops import matching
+
+        out_l = self._extract(gray_l)
+        out_r = self._extract(gray_r)
+        K = len(out_l["kpts"][0])
+        kpts_l = out_l["kpts"][0]
+        kpts_r = out_r["kpts"][0]
+        valid_l = out_l["valid"][0].copy()
+        valid_r = out_r["valid"][0].copy()
+        # restrict matching to the overlapping FOV columns
+        # (Frame::ComputeStereoFishEyeMatches "Speed it up by matching
+        # keypoints in the lapping area")
+        m_l = valid_l.copy()
+        m_r = valid_r.copy()
+        if lapping1 is not None:
+            m_l &= (kpts_l[:, 0] >= lapping1[0]) & (kpts_l[:, 0] <= lapping1[1])
+        if lapping2 is not None:
+            m_r &= (kpts_r[:, 0] >= lapping2[0]) & (kpts_r[:, 0] <= lapping2[1])
+        binary = out_l["desc"].shape[-1] > 64
+        if max_dist is None:
+            max_dist = (matching.ORB_TH_LOW if binary
+                        else matching.TH_LOW * 6)
+        res = matching.match_general(
+            jnp.asarray(out_l["desc"][0]), jnp.asarray(m_l),
+            jnp.asarray(out_r["desc"][0]), jnp.asarray(m_r),
+            max_dist=jnp.float32(max_dist), ratio=0.7, binary=binary,
+        )
+        idx = np.asarray(res.idx)
+        mask = np.asarray(res.mask)
+        # batched TriangulateMatches over ALL candidate pairs
+        oct_l = out_l.get("octave", np.zeros((1, K), np.int32))[0]
+        oct_r = out_r.get("octave", np.zeros((1, K), np.int32))[0]
+        sf = getattr(self.extractor, "scale_factor", 1.2)
+        safe_idx = np.clip(idx, 0, None)
+        X, z1, ok = camera_ops.stereo_triangulate_matches(
+            self.cam, cam2,
+            jnp.asarray(kpts_l), jnp.asarray(kpts_r[safe_idx]),
+            jnp.asarray(T_c1_c2[:3, :3].astype(np.float32)),
+            jnp.asarray(T_c1_c2[:3, 3].astype(np.float32)),
+            sigma2_1=jnp.asarray((sf ** (2.0 * oct_l)).astype(np.float32)),
+            sigma2_2=jnp.asarray(
+                (sf ** (2.0 * oct_r[safe_idx])).astype(np.float32)),
+        )
+        ok = np.asarray(ok) & mask
+        z1 = np.asarray(z1)
+        d = np.where(ok & (z1 > 0.1), z1, 0.0).astype(np.float32)
+        f = Frame(
+            fid=self._next_id,
+            timestamp=timestamp,
+            kpts=kpts_l,
+            kpts_un=out_l["kpts_un"][0],
+            desc=out_l["desc"][0],
+            scores=out_l["scores"][0],
+            valid=valid_l,
+            depth=d,
+            ur=np.full(K, -1.0, np.float32),  # no rectified right coordinate
             angle=out_l.get("angle", np.zeros((1, K), np.float32))[0],
             octave=oct_l.astype(np.int32),
         )
