@@ -1,16 +1,23 @@
 #!/usr/bin/env python
 """Benchmark: batched XFeat extract + mutual-NN match throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default: prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} —
+the north-star throughput config (BASELINE.md config 4): frames/second of
+full feature extraction (preprocess -> CNN -> NMS -> top-K -> descriptors)
+plus consecutive-frame mutual-NN matching at 640x480, 1000 keypoints.
+vs_baseline = speedup over the reference's libtorch-CPU equivalent measured
+on this host (reference pipeline: /root/reference/src/XFextractor.cc:250-357
+per frame + ORBmatcher matching).
 
-The metric is the north-star throughput config (BASELINE.md config 4):
-frames/second of full feature extraction (preprocess -> CNN -> NMS -> top-K
--> descriptors) plus consecutive-frame mutual-NN matching at 640x480, 1000
-keypoints. vs_baseline = speedup over the reference's libtorch-CPU
-equivalent measured on this host (reference pipeline:
-/root/reference/src/XFextractor.cc:250-357 per frame + ORBmatcher matching).
+Other BASELINE.md configs via --mode:
+  --mode online   per-frame RGB-D SLAM tracking fps, XFeat backend, batch 1
+                  (configs 2's fps axis; vs_baseline = the 30 fps real-time
+                  pacing the reference targets, TUM1.yaml Camera.fps)
+  --mode orb      same, ORB backend (config 1)
+  --mode all      all of the above, one JSON line each
 """
 
+import argparse
 import json
 import os
 import sys
@@ -99,16 +106,83 @@ def bench_torch_cpu(images, n_frames=2):
         return 2.8  # measured libtorch-CPU fps on the dev host
 
 
+def bench_online(backend: str, n_frames: int = 40):
+    """Per-frame SLAM tracking latency (the online path the reference's
+    rgbd_tum example reports, /root/reference/examples/RGB-D/rgbd_tum.cc:
+    131-139): full System.track_rgbd per frame — extract, match, pose-opt,
+    keyframe policy, synchronous backend — on a rendered synthetic room
+    sequence, batch 1.
+
+    The sequence runs TWICE with a fresh System: the first pass compiles
+    every shape the state machine reaches (20-40 s per graph through the
+    tunnel); the second pass is the steady-state measurement."""
+    import jax
+
+    from xfeatslam_tpu.ops.camera import Pinhole
+    from xfeatslam_tpu.slam.settings import Settings
+    from xfeatslam_tpu.slam.system import Sensor, System
+    from xfeatslam_tpu.utils import synthetic
+
+    platform = jax.devices()[0].platform
+    seq = synthetic.make_sequence(n_frames=n_frames)
+    K = seq["K"]
+
+    def run():
+        settings = Settings(
+            cam=Pinhole.from_list([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
+            bf=40.0, th_depth=3.0, depth_map_factor=1.0,
+        )
+        system = System(settings, Sensor.RGBD, backend=backend,
+                        enable_loop_closing=False)
+        times = []
+        for i in range(n_frames):
+            t0 = time.perf_counter()
+            system.track_rgbd(seq["images"][i], seq["depths"][i],
+                              seq["timestamps"][i])
+            times.append(time.perf_counter() - t0)
+        return np.array(times)
+
+    run()  # compile pass
+    steady = run()[2:]
+    fps = 1.0 / steady.mean()
+    print(f"# online[{backend}] median={np.median(steady)*1e3:.1f}ms "
+          f"mean={steady.mean()*1e3:.1f}ms p90={np.percentile(steady,90)*1e3:.1f}ms",
+          file=sys.stderr)
+    return fps, platform
+
+
 def main():
-    images = make_images(BATCH)
-    fps, platform = bench_jax(images)
-    base_fps = bench_torch_cpu(images)
-    print(json.dumps({
-        "metric": f"xfeat_extract_match_throughput_{platform}",
-        "value": round(fps, 2),
-        "unit": f"frames/s (640x480, 1000 kpts, batch {BATCH})",
-        "vs_baseline": round(fps / base_fps, 2),
-    }))
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="offline",
+                    choices=["offline", "online", "orb", "all"])
+    args = ap.parse_args()
+
+    if args.mode in ("offline", "all"):
+        images = make_images(BATCH)
+        fps, platform = bench_jax(images)
+        base_fps = bench_torch_cpu(images)
+        print(json.dumps({
+            "metric": f"xfeat_extract_match_throughput_{platform}",
+            "value": round(fps, 2),
+            "unit": f"frames/s (640x480, 1000 kpts, batch {BATCH})",
+            "vs_baseline": round(fps / base_fps, 2),
+        }))
+    if args.mode in ("online", "all"):
+        fps, platform = bench_online("xfeat")
+        print(json.dumps({
+            "metric": f"slam_online_tracking_fps_{platform}",
+            "value": round(fps, 2),
+            "unit": "frames/s (per-frame RGB-D tracking incl. backend, batch 1)",
+            "vs_baseline": round(fps / 30.0, 2),  # 30 fps real-time pacing
+        }))
+    if args.mode in ("orb", "all"):
+        fps, platform = bench_online("orb")
+        print(json.dumps({
+            "metric": f"slam_online_tracking_fps_orb_{platform}",
+            "value": round(fps, 2),
+            "unit": "frames/s (per-frame RGB-D tracking incl. backend, batch 1)",
+            "vs_baseline": round(fps / 30.0, 2),
+        }))
 
 
 if __name__ == "__main__":

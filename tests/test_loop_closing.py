@@ -15,7 +15,7 @@ K = np.array([[517.3, 0, 318.6], [0, 516.5, 255.3], [0, 0, 1]], np.float32)
 
 
 def build_loop_map(rng, n_kf=14, n_pts=400, drift_per_kf=0.012,
-                   revisit_tail=2, period=None):
+                   revisit_tail=2, period=None, drift_xi=None):
     """Camera walks a circle and returns to the start; odometry drift
     accumulates; last KF re-observes the first KF's area. With period <
     n_kf the trajectory wraps PAST 2*pi, so the last (n_kf - period) KFs
@@ -46,8 +46,10 @@ def build_loop_map(rng, n_kf=14, n_pts=400, drift_per_kf=0.012,
     # drifted poses: accumulate a small error per step; KF0 exact
     drift = np.eye(4, dtype=np.float32)
     est = [gt[0]]
+    if drift_xi is None:
+        drift_xi = np.array([1.0, 0.3, -0.5, 0.15, 0.4, -0.2], np.float32)
     for i in range(1, n_kf):
-        xi = drift_per_kf * np.array([1.0, 0.3, -0.5, 0.15, 0.4, -0.2], np.float32)
+        xi = drift_per_kf * np.asarray(drift_xi, np.float32)
         dR, dt = lie.se3_exp(jnp.asarray(xi * i / n_kf))
         R_d = np.asarray(dR) @ gt[i][0]
         t_d = np.asarray(dR) @ gt[i][1] + np.asarray(dt) * i
@@ -301,3 +303,118 @@ class TestMapMerge:
             d = np.linalg.norm(gt_centers - c, axis=-1).min()
             errs.append(d)
         assert max(errs) < 0.05, errs
+
+    def test_merge_inertial_chain_travels(self, rng):
+        """MergeLocal2 bookkeeping (/root/reference/src/LoopClosing.cc:1783):
+        after welding an IMU-initialized active map into a visual-only map,
+        the inertial chain must survive — velocities rotated into the merged
+        world frame, prev_kf ids offset, and the init flags cleared so
+        LocalMapping re-runs gravity alignment in the new frame."""
+        from xfeatslam_tpu.slam.atlas import Atlas
+        from xfeatslam_tpu.ops import lie as lie_ops
+        import jax.numpy as jnp
+
+        atlas = Atlas(desc_dim=64)
+        atlas.maps.clear()
+        mA, gt, _ = build_loop_map(np.random.default_rng(7), n_kf=14,
+                                   drift_per_kf=0.0)
+        for kid in range(7, 14):
+            mA.remove_keyframe(kid)
+        mA.map_id = 0
+        atlas.maps[0] = mA
+
+        mB, _, _ = build_loop_map(np.random.default_rng(7), n_kf=14,
+                                  drift_per_kf=0.0)
+        for kid in range(0, 7):
+            mB.remove_keyframe(kid)
+        xi = np.array([0.4, -0.2, 0.3, 0.1, 0.2, -0.15], np.float32)
+        dR, dt = lie_ops.se3_exp(jnp.asarray(xi))
+        dR, dt = np.asarray(dR), np.asarray(dt)
+        for kf in mB.keyframes.values():
+            kf.R = (kf.R @ dR.T).astype(np.float32)
+            kf.t = (kf.t - kf.R @ dt).astype(np.float32)
+        for mp in list(mB.obs.keys()):
+            if mB.points.alive[mp]:
+                mB.points.pos[mp] = (dR @ mB.points.pos[mp] + dt).astype(np.float32)
+        mB.map_id = 1
+        atlas.maps[1] = mB
+        atlas.active_id = 1
+
+        # give map B an inertial chain: per-KF world-B velocities whose
+        # world-A ground truth is known, a prev_kf chain, shared biases
+        v_gt = {}
+        prev = -1
+        for kid in sorted(mB.keyframes):
+            kf = mB.keyframes[kid]
+            v_a = np.array([0.1 * kid, -0.05, 0.02 * kid], np.float32)
+            v_gt[kid] = v_a
+            kf.vel = (dR @ v_a).astype(np.float32)  # world-B frame
+            kf.prev_kf = prev
+            prev = kid
+        mB.imu_initialized = True
+        mB.imu_ba1 = True
+        mB.imu_ba2 = True
+        mB.imu_bg = np.array([1e-3, -2e-3, 3e-3], np.float32)
+        mB.imu_ba = np.array([0.01, 0.02, -0.01], np.float32)
+
+        lc = LoopClosing(mB, CAM, fix_scale=True, confirmations=1,
+                         run_gba=False, atlas=atlas)
+        for kid in sorted(mA.keyframes):
+            lc.retrieval.add(kid, mA.keyframes[kid].global_desc, map_id=0)
+        for kid in sorted(mB.keyframes):
+            lc.process_keyframe(kid)
+
+        assert len(lc.merged) == 1, lc.merged
+        merged = atlas.maps[0]
+        # moved KFs: ids offset by 7 (map A has KFs 0..6)
+        offset = 7
+        for kid in range(7, 14):
+            kf = merged.keyframes[kid + offset]
+            # velocity back in the merged (world-A) frame
+            assert np.linalg.norm(kf.vel - v_gt[kid]) < 0.05, (
+                kid, kf.vel, v_gt[kid])
+            expect_prev = -1 if kid == 7 else kid - 1 + offset
+            assert kf.prev_kf == expect_prev, (kid, kf.prev_kf)
+        # destination map was NOT IMU-initialized: flags cleared for re-init,
+        # bias estimate carried over
+        assert not merged.imu_initialized
+        assert not merged.imu_ba1 and not merged.imu_ba2
+        assert np.allclose(merged.imu_bg, mB.imu_bg)
+        assert np.allclose(merged.imu_ba, mB.imu_ba)
+
+
+class TestInertialLoop:
+    def test_4dof_graph_corrects_inertial_loop(self, rng):
+        """Inertial loop correction uses the 4DoF essential graph
+        (OptimizeEssentialGraph4DoF, /root/reference/src/Optimizer.cc:5292):
+        translation drift is distributed, and no keyframe's roll/pitch
+        (gravity direction) moves — only yaw and translation updates."""
+        # translation-only drift: correctable inside the 4DoF manifold
+        m, gt, est = build_loop_map(
+            rng, drift_xi=np.array([1.0, 0.3, -0.5, 0, 0, 0], np.float32))
+        prev = -1
+        for kid in sorted(m.keyframes):
+            m.keyframes[kid].prev_kf = prev
+            m.keyframes[kid].vel = np.zeros(3, np.float32)
+            prev = kid
+        m.imu_initialized = True
+        lc = LoopClosing(m, CAM, fix_scale=True, confirmations=1,
+                         run_gba=False, proj_matches=25,
+                         proj_matches_strict=30)
+        R_wc_before = {k: m.keyframes[k].R.T.copy() for k in m.keyframes}
+        for kid in sorted(m.keyframes):
+            lc.process_keyframe(kid)
+        assert len(lc.closed) >= 1, f"loop not closed ({lc.detected})"
+        # drift distributed: tail error shrinks
+        tail = sorted(m.keyframes)[-3:]
+        err_b = np.mean([np.linalg.norm(est[k][1] - gt[k][1]) for k in tail])
+        err_a = np.mean([np.linalg.norm(m.keyframes[k].t - gt[k][1])
+                         for k in tail])
+        assert err_a < 0.6 * err_b, (err_a, err_b)
+        # gravity preserved: every pose update is yaw(world-z)+translation
+        for k, kf in m.keyframes.items():
+            dW = kf.R.T @ R_wc_before[k].T  # R_wc_after @ R_wc_before^T
+            # rotation axis must be world z: z-row/col of dW ~ identity
+            assert abs(dW[2, 2] - 1.0) < 1e-4, (k, dW)
+            assert np.abs([dW[0, 2], dW[1, 2], dW[2, 0], dW[2, 1]]).max() \
+                < 5e-3, (k, dW)

@@ -190,3 +190,78 @@ class TestPoseGraph:
         # the loop edge redistributes drift: end-of-chain error much reduced
         assert err_after[-1] < 0.3 * drift_before, (err_after[-1], drift_before)
         assert err_after.max() < drift_before
+
+    def test_loop_correction_4dof(self, rng):
+        """Inertial essential graph (OptimizeEssentialGraph4DoF,
+        /root/reference/src/Optimizer.cc:5292): same drift scenario but
+        updates restricted to yaw+translation — the correction must still
+        be distributed, and every vertex's roll/pitch (gravity direction)
+        must remain exactly as initialized."""
+        C = 12
+        R_gt, t_gt = [], []
+        for i in range(C):
+            ang = 2 * np.pi * i / C
+            xi = np.array([np.sin(ang), 0.0, np.cos(ang) - 1.0,
+                           0.0, ang if ang < np.pi else ang - 2 * np.pi, 0.0],
+                          np.float32)
+            R, t = lie.se3_exp(jnp.asarray(xi))
+            R_gt.append(np.asarray(R))
+            t_gt.append(np.asarray(t))
+        R_gt, t_gt = np.stack(R_gt), np.stack(t_gt)
+
+        def rel(i, j):
+            inv = lie.sim3_inverse(jnp.float32(1.0), jnp.asarray(R_gt[i]),
+                                   jnp.asarray(t_gt[i]))
+            return lie.sim3_compose(jnp.float32(1.0), jnp.asarray(R_gt[j]),
+                                    jnp.asarray(t_gt[j]), *inv)
+
+        edges = [(i, i + 1) for i in range(C - 1)] + [(0, C - 1)]
+        # drift: yaw (world-z) + translation only, so the 4DoF manifold can
+        # reach the ground truth
+        drift = np.array([0.0, 0.012, -0.008, 0.002, 0.0, -0.006, 0.0],
+                         np.float32)
+        m_s, m_R, m_t, ei, ej = [], [], [], [], []
+        for k, (i, j) in enumerate(edges):
+            ms, mR, mt = rel(i, j)
+            if k < C - 1:
+                ds, dR, dt = lie.sim3_exp(jnp.asarray(drift))
+                ms, mR, mt = lie.sim3_compose(ds, dR, dt, ms, mR, mt)
+            m_s.append(float(ms))
+            m_R.append(np.asarray(mR))
+            m_t.append(np.asarray(mt))
+            ei.append(i)
+            ej.append(j)
+
+        R0 = [R_gt[0]]
+        t0 = [t_gt[0]]
+        for k in range(C - 1):
+            _, Rc, tc = lie.sim3_compose(
+                jnp.float32(m_s[k]), jnp.asarray(m_R[k]), jnp.asarray(m_t[k]),
+                jnp.float32(1.0), jnp.asarray(R0[-1]), jnp.asarray(t0[-1]),
+            )
+            R0.append(np.asarray(Rc))
+            t0.append(np.asarray(tc))
+        R0, t0 = np.stack(R0), np.stack(t0)
+        drift_before = np.linalg.norm(t0[-1] - t_gt[-1])
+
+        fixed = np.zeros(C, bool)
+        fixed[0] = True
+        prob = pose_graph.PoseGraphProblem(
+            s=jnp.ones(C, jnp.float32), R=jnp.asarray(R0), t=jnp.asarray(t0),
+            fixed=jnp.asarray(fixed), cam_valid=jnp.ones(C, bool),
+            edge_i=jnp.asarray(ei, jnp.int32), edge_j=jnp.asarray(ej, jnp.int32),
+            m_s=jnp.asarray(m_s), m_R=jnp.asarray(np.stack(m_R)),
+            m_t=jnp.asarray(np.stack(m_t)),
+            e_valid=jnp.ones(len(ei), bool),
+        )
+        s1, R1, t1 = pose_graph.optimize_pose_graph(prob, mode="4dof")
+        s1, R1, t1 = np.asarray(s1), np.asarray(R1), np.asarray(t1)
+        assert np.allclose(s1, 1.0)  # scale untouched in 4DoF mode
+        err_after = np.linalg.norm(t1 - t_gt, axis=-1)
+        assert err_after[-1] < 0.3 * drift_before, (err_after[-1], drift_before)
+        # every update must be a pure world-z rotation: R_wc1 @ R_wc0^T has
+        # axis e_z (gravity direction in camera frames untouched)
+        for i in range(C):
+            dW = R1[i].T @ R0[i]
+            assert abs(dW[2, 2] - 1.0) < 1e-5, (i, dW)
+            assert np.abs([dW[0, 2], dW[1, 2], dW[2, 0], dW[2, 1]]).max() < 1e-4

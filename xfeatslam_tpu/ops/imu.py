@@ -157,6 +157,44 @@ def preintegrate(acc, gyro, dts, valid, bg, ba,
     return Preintegrated(T, dR, dV, dP, cov, JRg, JVg, JVa, JPg, JPa, bg, ba)
 
 
+def preintegrate_segment(acc, gyro, dts, bg, ba,
+                         calib: ImuCalib = None) -> Preintegrated:
+    """Host-side convenience: preintegrate a variable-length numpy sample
+    window by padding to a power-of-two bucket (bounds jit recompiles of the
+    scan to one per bucket size). Returns a Preintegrated of numpy arrays."""
+    import numpy as np
+
+    n = len(acc)
+    bucket = 8
+    while bucket < n:
+        bucket *= 2
+    pad = bucket - n
+
+    def padded(a, width):
+        a = np.asarray(a, np.float32)
+        return np.concatenate([a, np.zeros((pad,) + a.shape[1:], np.float32)])
+
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    kw = {}
+    if calib is not None:
+        kw = dict(noise_gyro=calib.noise_gyro, noise_acc=calib.noise_acc,
+                  walk_gyro=calib.walk_gyro, walk_acc=calib.walk_acc)
+    pre = preintegrate(padded(acc, 3), padded(gyro, 3), padded(dts, 0), valid,
+                       jnp.asarray(np.asarray(bg, np.float32)),
+                       jnp.asarray(np.asarray(ba, np.float32)), **kw)
+    return Preintegrated(*[np.asarray(f) for f in pre])
+
+
+def relinearize(pre: Preintegrated, bg_new, ba_new) -> Preintegrated:
+    """Re-express a preintegration at a new linearization bias (first-order
+    via the stored Jacobians). Deltas move, Jacobians/covariance stay — the
+    standard approximation the reference applies implicitly whenever it
+    calls the GetDelta* getters at an updated bias."""
+    dR, dV, dP = delta_with_bias(pre, bg_new, ba_new)
+    return pre._replace(dR=lie.normalize_rotation(dR), dV=dV, dP=dP,
+                        bg=jnp.asarray(bg_new), ba=jnp.asarray(ba_new))
+
+
 def merge_previous(prev: Preintegrated, cur: Preintegrated) -> Preintegrated:
     """Concatenate two consecutive preintegrations (MergePrevious role,
     /root/reference/src/ImuTypes.cc): combined delta over [t0, t2] at the

@@ -168,8 +168,34 @@ def inertial_init(R_wb, p_wb, dts, dR, dV, dP, JRg, JVg, JVa, JPg, JPa,
         ])
         return jnp.concatenate([r, r_prior])
 
-    x0 = jnp.zeros(9 + 3 * K)
-    x = _dense_lm(residuals, x0, iters=25)
+    # --- coarse initialization -------------------------------------------
+    # Scale can be orders of magnitude from 1 (mono maps are median-depth
+    # normalized), and LM from (s=1, v=0) stalls in that regime. Grid-search
+    # log_s with velocities set to finite differences of the (scaled) poses,
+    # start LM from the best candidate.
+    dt_safe = jnp.where(e_valid, dts, 1.0)
+
+    def fd_vel(s):
+        dv = (p_wb[1:] - p_wb[:-1]) * s / dt_safe[:, None]
+        dv = jnp.where(e_valid[:, None], dv, 0.0)
+        # v_k from the outgoing edge; last state reuses the incoming edge
+        return jnp.concatenate([dv, dv[-1:]], axis=0)
+
+    def seed(log_s):
+        s = jnp.where(fix_scale, 0.0, log_s)
+        x = jnp.zeros(9 + 3 * K)
+        x = x.at[2].set(s)
+        x = x.at[9:].set(fd_vel(jnp.exp(s)).reshape(-1))
+        return x
+
+    if fix_scale:
+        x0 = seed(jnp.float32(0.0))
+    else:
+        cands = jnp.linspace(-2.5, 2.5, 21)
+        seeds = jax.vmap(seed)(cands)
+        costs = jax.vmap(lambda x: jnp.sum(residuals(x) ** 2))(seeds)
+        x0 = seeds[jnp.argmin(costs)]
+    x = _dense_lm(residuals, x0, iters=60)
     s, g, bg, ba, vel, R_wg = unpack(x)
     r = residuals(x)
     return InitResult(s, R_wg, bg, ba, vel, jnp.sum(r * r))

@@ -49,23 +49,74 @@ def _edge_residual(si, Ri, ti, sj, Rj, tj, ms, mR, mt):
     return lie.sim3_log(es, eR, et)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "cg_iters"))
+# sqrt information for 4DoF edges: the reference weights the two
+# gravity-constrained rotation axes 1e3 (matLambda, Optimizer.cc:5363-5366).
+# numpy (not jnp) so importing this module never initializes a JAX backend.
+import numpy as _np
+
+_W4 = _np.array([31.622776, 31.622776, 1.0, 1.0, 1.0, 1.0], _np.float32)
+
+
+def _edge_residual_4dof(si, Ri, ti, sj, Rj, tj, ms, mR, mt):
+    """SE3 edge residual in this module's m = T_j * T_i^{-1} convention:
+    E = m * T_i * T_j^{-1}, r = [log_so3(E_R); E_t] — the Edge4DoF error
+    (/root/reference/include/G2oTypes.h:817-837, which states it with the
+    inverse measurement convention), whitened by the reference's matLambda.
+    Scale args are ignored (SE3)."""
+    del si, sj, ms
+    Rij = Ri @ Rj.T  # T_i * T_j^{-1}
+    tij = ti - Rij @ tj
+    eR = lie.so3_log(mR @ Rij)
+    et = mt + mR @ tij
+    return jnp.concatenate([eR, et]) * _W4
+
+
+def _apply_delta_4dof(R, t, d):
+    """4-D world-frame update [dyaw, dt]: yaw about the gravity-aligned
+    world +z only (roll/pitch pinned by the IMU), world translation
+    (VertexPose4DoF::oplusImpl + ImuCamPose::UpdateW,
+    /root/reference/include/G2oTypes.h:155-189)."""
+    dR = lie.so3_exp(jnp.array([0.0, 0.0, 1.0]) * d[0])
+    R_wc = R.T
+    C = -(R_wc @ t)
+    R2 = (dR @ R_wc).T
+    t2 = -(R2 @ (C + d[1:4]))
+    return R2, t2
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "cg_iters", "mode"))
 def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20,
-                        cg_iters: int = 50):
-    """LM over all free Sim3 vertices. Returns (s, R, t) optimized."""
+                        cg_iters: int = 50, mode: str = "sim3"):
+    """LM over all free vertices. Returns (s, R, t) optimized.
+
+    mode="sim3": 7-DoF Sim3 vertices (OptimizeEssentialGraph).
+    mode="4dof": yaw+translation vertices with scale/roll/pitch frozen —
+    the inertial essential graph (Optimizer::OptimizeEssentialGraph4DoF,
+    /root/reference/src/Optimizer.cc:5292); gravity has pinned roll/pitch
+    and the IMU has pinned scale, so only 4 DoF per KF remain free.
+    """
     C = prob.s.shape[0]
+    D = 7 if mode == "sim3" else 4
+    RD = 7 if mode == "sim3" else 6
     free = (~prob.fixed) & prob.cam_valid
+    edge_res = _edge_residual if mode == "sim3" else _edge_residual_4dof
 
     def residuals(s, R, t):
         si, Ri, ti = s[prob.edge_i], R[prob.edge_i], t[prob.edge_i]
         sj, Rj, tj = s[prob.edge_j], R[prob.edge_j], t[prob.edge_j]
-        return jax.vmap(_edge_residual)(si, Ri, ti, sj, Rj, tj,
-                                        prob.m_s, prob.m_R, prob.m_t)
+        return jax.vmap(edge_res)(si, Ri, ti, sj, Rj, tj,
+                                  prob.m_s, prob.m_R, prob.m_t)
+
+    def apply_one(s, R, t, dx):
+        if mode == "sim3":
+            ds, dR, dt = lie.sim3_exp(dx)
+            return lie.sim3_compose(ds, dR, dt, s, R, t)
+        R2, t2 = _apply_delta_4dof(R, t, dx)
+        return s, R2, t2
 
     def apply_delta(s, R, t, dx):
-        """dx: (C,7) tangent; S <- exp(dx) * S on free vertices."""
-        ds, dR, dt = lie.sim3_exp(dx)
-        s2, R2, t2 = lie.sim3_compose(ds, dR, dt, s, R, t)
+        """dx: (C,D) tangent, applied on free vertices."""
+        s2, R2, t2 = jax.vmap(apply_one)(s, R, t, dx)
         keep = free[:, None]
         s = jnp.where(free, s2, s)
         R = jnp.where(keep[..., None], R2, R)
@@ -73,18 +124,16 @@ def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20,
         return s, R, t
 
     def edge_jacobians(s, R, t):
-        """J_i, J_j: (E,7,7) wrt left-tangent of vertex i / j (autodiff)."""
+        """J_i, J_j: (E,RD,D) wrt the delta of vertex i / j (autodiff)."""
         si, Ri, ti = s[prob.edge_i], R[prob.edge_i], t[prob.edge_i]
         sj, Rj, tj = s[prob.edge_j], R[prob.edge_j], t[prob.edge_j]
 
         def res_of_deltas(di, dj, si, Ri, ti, sj, Rj, tj, ms, mR, mt):
-            dsi, dRi, dti = lie.sim3_exp(di)
-            si2, Ri2, ti2 = lie.sim3_compose(dsi, dRi, dti, si, Ri, ti)
-            dsj, dRj, dtj = lie.sim3_exp(dj)
-            sj2, Rj2, tj2 = lie.sim3_compose(dsj, dRj, dtj, sj, Rj, tj)
-            return _edge_residual(si2, Ri2, ti2, sj2, Rj2, tj2, ms, mR, mt)
+            si2, Ri2, ti2 = apply_one(si, Ri, ti, di)
+            sj2, Rj2, tj2 = apply_one(sj, Rj, tj, dj)
+            return edge_res(si2, Ri2, ti2, sj2, Rj2, tj2, ms, mR, mt)
 
-        zero = jnp.zeros(7)
+        zero = jnp.zeros(D)
         Ji = jax.vmap(
             lambda si, Ri, ti, sj, Rj, tj, ms, mR, mt: jax.jacfwd(
                 lambda d: res_of_deltas(d, zero, si, Ri, ti, sj, Rj, tj, ms, mR, mt)
@@ -124,8 +173,8 @@ def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20,
         )
 
         diag = jnp.diagonal(Hii, axis1=-2, axis2=-1)
-        Hd = Hii + (lam * diag + 1e-6)[..., None] * jnp.eye(7)
-        eye = jnp.broadcast_to(jnp.eye(7), Hd.shape)
+        Hd = Hii + (lam * diag + 1e-6)[..., None] * jnp.eye(D)
+        eye = jnp.broadcast_to(jnp.eye(D), Hd.shape)
         Hd = jnp.where(free[:, None, None], Hd, eye)
         M_inv = jnp.linalg.inv(Hd)
 
@@ -159,7 +208,7 @@ def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20,
             p = z + beta * p
             return x, rr, z, p, rz2
 
-        x0 = jnp.zeros((C, 7))
+        x0 = jnp.zeros((C, D))
         z0 = precond(g)
         st0 = (x0, g, z0, z0, jnp.sum(g * z0))
         dx, *_ = lax.fori_loop(0, cg_iters, cg_step, st0)

@@ -1,0 +1,164 @@
+"""Fused per-frame tracking step: project -> match -> rotation check ->
+widen-on-failure -> robust pose LM, as ONE XLA graph.
+
+Dispatch-count optimization for the online path: the reference interleaves
+these stages on the CPU (Tracking::TrackWithMotionModel
+/root/reference/src/Tracking.cc:2892 calls ORBmatcher::SearchByProjection
+then Optimizer::PoseOptimization), which as separate device calls costs a
+host<->device round trip per stage — the dominant per-frame cost when the
+accelerator sits behind a network tunnel (~15 ms RTT). Fusing the whole
+frame step keeps every intermediate (distance matrix, match indices,
+normal equations) on device and returns only the final bindings.
+
+Two configurations cover the two tracking stages:
+  - motion-model step: fresh bindings, widen x2 when matches are scarce
+    (Tracking.cc:2939-2947)
+  - local-map step: keeps existing bindings as extra pose edges, gates
+    candidates by distance band / viewing angle / predicted scale
+    (Frame::isInFrustum + ORBmatcher.cc:92-131)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import matching
+from ..ops.camera import Pinhole
+from . import pose_opt
+
+INVALID = 1e9
+
+
+class TrackStepResult(NamedTuple):
+    R: jnp.ndarray  # (3,3) optimized Tcw
+    t: jnp.ndarray  # (3,)
+    slot_mp: jnp.ndarray  # (N,) row into the map-point arrays or -1 (new binds)
+    inlier: jnp.ndarray  # (N,) pose-opt inlier classification per keypoint
+    n_matched: jnp.ndarray  # () new matches found (post rotation check)
+    n_inliers: jnp.ndarray  # () pose-opt inliers
+    visible: jnp.ndarray  # (M,) map points that passed the frustum gates
+
+
+def _rotation_consistency(mp_angle, kpt_angle, idx, mask,
+                          n_bins: int = 30):
+    """In-graph rotation-histogram check (ORBmatcher HISTO_LENGTH=30 +
+    ComputeThreeMaxima, /root/reference/src/ORBmatcher.cc:2198-2240): keep
+    matches in the 3 dominant delta-angle bins (2nd/3rd only if >0.1x max).
+    No-op when neither side carries orientation (XFeat)."""
+    has_angle = (jnp.max(jnp.abs(mp_angle)) > 1e-9) | (
+        jnp.max(jnp.abs(kpt_angle)) > 1e-9
+    )
+    d = mp_angle - kpt_angle[jnp.clip(idx, 0, None)]
+    d = jnp.mod(d, 2.0 * jnp.pi)
+    bins = jnp.minimum((d / (2.0 * jnp.pi) * n_bins).astype(jnp.int32),
+                       n_bins - 1)
+    counts = jnp.zeros(n_bins, jnp.int32).at[bins].add(mask.astype(jnp.int32))
+    top3 = jax.lax.top_k(counts, 3)[0]
+    thr = jnp.maximum(top3[2], (0.1 * top3[0]).astype(jnp.int32))
+    keep_bin = counts >= jnp.maximum(thr, 1)
+    ok = keep_bin[bins]
+    return jnp.where(has_angle, mask & ok, mask)
+
+
+@functools.partial(jax.jit, static_argnames=("binary", "scale_gate",
+                                             "band_gate", "n_levels"))
+def match_pose_step(
+    R0, t0,
+    # map-point side (M rows, padded)
+    pos_w, mp_desc, valid_mp, mp_angle, mp_octave, dmin, dmax, normal,
+    # frame side (N slots, padded)
+    kpt_uv, kpt_desc, kpt_valid, kpt_angle, kpt_octave, obs_ur, inv_sigma2,
+    kpt_free,
+    # previously bound edges (from an earlier stage), included in pose opt
+    prev_Xw, prev_valid,
+    cam: Pinhole, bf,
+    radius, max_dist, ratio, widen_below, scale_factor,
+    img_w, img_h,
+    binary: bool = False, scale_gate: bool = False, band_gate: bool = False,
+    n_levels: int = 1,
+):
+    """One fused tracking step. Returns TrackStepResult.
+
+    widen_below: retry with a 2x radius when the first pass finds fewer new
+    matches (the reference's widen-on-failure, Tracking.cc:2939). Both
+    passes are computed in-graph and selected — on the MXU the second
+    distance matrix is cheaper than a host round trip.
+    """
+    # ---- frustum + gating (Frame::isInFrustum, Frame.cc:705) -------------
+    Xc = pos_w @ R0.T + t0
+    z = Xc[:, 2]
+    vis = z > 0.05
+    zs = jnp.where(vis, z, 1.0)
+    u = cam.fx * Xc[:, 0] / zs + cam.cx
+    v = cam.fy * Xc[:, 1] / zs + cam.cy
+    vis &= (u >= -20) & (u < img_w + 20) & (v >= -20) & (v < img_h + 20)
+    C = -R0.T @ t0
+    dvec = pos_w - C
+    dist = jnp.linalg.norm(dvec, axis=-1)
+    if band_gate:
+        vis &= (dist >= 0.8 * dmin) & (dist <= 1.2 * dmax)
+        view = dvec / jnp.maximum(dist[:, None], 1e-9)
+        vis &= jnp.sum(view * normal, axis=-1) > 0.5
+    pred_uv = jnp.stack([u, v], -1)
+    valid_m = valid_mp & vis
+
+    # ---- per-point radius + octave window ---------------------------------
+    if scale_gate and n_levels > 1:
+        # PredictScale (MapPoint.cc:579) in-graph
+        ratio_d = dmax / jnp.maximum(dist, 1e-9)
+        level = jnp.ceil(jnp.log(jnp.maximum(ratio_d, 1e-9))
+                         / jnp.log(scale_factor))
+        level = jnp.clip(level, 0, n_levels - 1).astype(jnp.int32)
+        r_scale = scale_factor ** level.astype(jnp.float32)
+        oct_kw = dict(kpt_octave=kpt_octave, oct_lo=level - 1, oct_hi=level)
+    elif n_levels > 1:
+        # frame-to-frame: window around the LAST observation's octave
+        r_scale = scale_factor ** mp_octave.astype(jnp.float32)
+        oct_kw = dict(kpt_octave=kpt_octave, oct_lo=mp_octave - 1,
+                      oct_hi=mp_octave + 1)
+    else:
+        r_scale = jnp.ones_like(dist)
+        oct_kw = {}
+
+    def one_pass(mult):
+        res = matching.search_by_projection(
+            pred_uv, mp_desc, valid_m, kpt_uv, kpt_desc, kpt_valid,
+            radius=radius * r_scale * mult, max_dist=max_dist, ratio=ratio,
+            kpt_free=kpt_free, binary=binary, **oct_kw,
+        )
+        mask = _rotation_consistency(mp_angle, kpt_angle, res.idx, res.mask)
+        return res.idx, mask
+
+    idx1, m1 = one_pass(jnp.float32(1.0))
+    n1 = jnp.sum(m1.astype(jnp.int32))
+    idx2, m2 = one_pass(jnp.float32(2.0))
+    use2 = n1 < widen_below
+    idx = jnp.where(use2, idx2, idx1)
+    mask = jnp.where(use2, m2, m1)
+    n_matched = jnp.sum(mask.astype(jnp.int32))
+
+    # ---- scatter matches to keypoint slots ---------------------------------
+    N = kpt_uv.shape[0]
+    M = pos_w.shape[0]
+    slot_mp = jnp.full((N,), -1, jnp.int32)
+    rows = jnp.arange(M, dtype=jnp.int32)
+    slot_mp = slot_mp.at[jnp.where(mask, idx, N)].set(
+        jnp.where(mask, rows, -1), mode="drop")
+    new_valid = slot_mp >= 0
+    Xw_new = pos_w[jnp.clip(slot_mp, 0, None)]
+    # union with previously bound edges (new bindings only fill free slots,
+    # so prev wins where both exist)
+    edge_valid = prev_valid | new_valid
+    Xw = jnp.where(prev_valid[:, None], prev_Xw, Xw_new)
+
+    # ---- robust pose LM (Optimizer::PoseOptimization) ----------------------
+    res = pose_opt.pose_optimization(
+        R0, t0, Xw, kpt_uv, obs_ur, inv_sigma2,
+        (obs_ur > 0) & edge_valid, edge_valid & kpt_valid, cam, bf,
+    )
+    return TrackStepResult(res.R, res.t, slot_mp, res.inliers,
+                           n_matched, res.num_inliers, vis & valid_mp)

@@ -99,18 +99,20 @@ class FramePipeline:
         UndistortKeyPoints when mDistCoef is empty, Frame.cc:734)."""
         fisheye = isinstance(self.cam, camera_ops.KannalaBrandt8)
         if hasattr(self.extractor, "params"):
+            # one batched device_get for the whole output tree: per-entry
+            # np.asarray issues one synchronized transfer per array, which
+            # through the remote-TPU tunnel costs ~30 ms EACH (45x the whole
+            # extraction)
             if fisheye:
                 x = image_ops.to_float_image(gray)
-                out = extract_fn(self.extractor.params, x,
-                                 self.extractor.nfeatures)
-                out = {k: np.asarray(v) for k, v in out.items()}
+                out = jax.device_get(dict(extract_fn(
+                    self.extractor.params, x, self.extractor.nfeatures)))
                 out["kpts_un"] = out["kpts"]
                 return out
             x = image_ops.to_float_image(gray)
-            out = _extract_and_undistort(
+            return jax.device_get(dict(_extract_and_undistort(
                 self.extractor.params, x, self.cam, self.extractor.nfeatures
-            )
-            return {k: np.asarray(v) for k, v in out.items()}
+            )))
         out = self.extractor(gray)
         if fisheye:
             out["kpts_un"] = out["kpts"]

@@ -62,6 +62,10 @@ class LoopClosing:
         self.detected: List[tuple] = []  # (kid, cand) raw candidates
         self.closed: List[tuple] = []  # (kid, cand) corrected loops
         self.merged: List[tuple] = []  # (new_map_id, old_map_id)
+        # MergeInertialBA hook (LoopClosing.cc:2055): System wires this to
+        # LocalMapping's joint visual-inertial window solve; called with the
+        # welded keyframe id after an inertial merge
+        self.welding_iba = None
         # temporal consistency: (candidate covisibility group, count, stamp)
         self._consistent: List[Tuple[set, int, int]] = []
 
@@ -326,6 +330,11 @@ class LoopClosing:
         for kid, kf in m.keyframes.items():
             if kf.parent >= 0 and kf.parent in m.keyframes:
                 edges.add((min(kid, kf.parent), max(kid, kf.parent)))
+            # inertial temporal-chain edges (4DoF graph adds prev-KF edges,
+            # Optimizer.cc:5448-5480 "1.1.1 Inertial edges")
+            prev = getattr(kf, "prev_kf", None)
+            if prev is not None and prev in m.keyframes:
+                edges.add((min(kid, prev), max(kid, prev)))
             for lk in kf.loop_edges:
                 if lk in m.keyframes:
                     edges.add((min(kid, lk), max(kid, lk)))
@@ -427,7 +436,11 @@ class LoopClosing:
             m_t=jnp.asarray(pad(np.stack(m_t), E)),
             e_valid=jnp.asarray(pad(np.ones(n_e, bool), E, False)),
         )
-        s1, R1, t1 = pg.optimize_pose_graph(prob)
+        # inertial maps with gravity pinned optimize only yaw+translation
+        # (OptimizeEssentialGraph4DoF is chosen over the Sim3 graph when the
+        # map is inertial and initialized, LoopClosing.cc:618-632)
+        mode = "4dof" if self.map.imu_initialized else "sim3"
+        s1, R1, t1 = pg.optimize_pose_graph(prob, mode=mode)
         s1, R1, t1 = np.asarray(s1), np.asarray(R1), np.asarray(t1)
 
         # apply: KF SE3 = [R | t/s]; points via their reference KF correction
@@ -675,6 +688,15 @@ class LoopClosing:
             )
             kf.parent = kf.parent + kid_offset if kf.parent >= 0 else -1
             kf.children = {c + kid_offset for c in kf.children}
+            # inertial chain travels with the keyframe (MergeLocal2,
+            # /root/reference/src/LoopClosing.cc:1783: ApplyScaledRotation
+            # with bScaleVel — world velocities rotate/scale like position
+            # derivatives; biases are body-frame and unchanged;
+            # preintegrations are body-frame and unchanged)
+            if kf.prev_kf >= 0:
+                kf.prev_kf = kf.prev_kf + kid_offset
+            if kf.vel is not None:
+                kf.vel = (sDi * (RDi @ kf.vel)).astype(np.float32)
             m_old.keyframes[kf.kid] = kf
             m_old.covis.setdefault(kf.kid, {})
             for slot in np.nonzero(kf.mp_ids >= 0)[0]:
@@ -694,10 +716,30 @@ class LoopClosing:
                 self.retrieval.map_ids[i] = m_old.map_id
                 self.retrieval.kids[i] = int(self.retrieval.kids[i]) + kid_offset
 
+        # inertial bookkeeping (MergeLocal2, LoopClosing.cc:1858-1878): the
+        # welded map keeps the destination frame. If only the moved map was
+        # IMU-initialized, its gravity alignment did not survive the weld —
+        # clear the init flags so LocalMapping's schedule re-runs
+        # InertialOptimization on the (intact) chain in the merged frame.
+        if m_new.imu_initialized and not m_old.imu_initialized:
+            m_old.imu_initialized = False
+            m_old.imu_ba1 = False
+            m_old.imu_ba2 = False
+            m_old.imu_bg = m_new.imu_bg.copy()
+            m_old.imu_ba = m_new.imu_ba.copy()
+        elif m_new.imu_initialized:
+            # both inertial: adopt the active map's (fresher) bias estimate
+            m_old.imu_bg = m_new.imu_bg.copy()
+            m_old.imu_ba = m_new.imu_ba.copy()
         # fuse duplicate landmarks around the weld (SearchAndFuse role)
         self.map = m_old
         self._fuse_weld(new_kid, ckid)
-        if self.run_gba:
+        if m_old.imu_initialized and self.welding_iba is not None:
+            # MergeInertialBA (LoopClosing.cc:2055 -> Optimizer.cc:4154):
+            # joint visual-inertial refinement of the welding window instead
+            # of a visual GBA (the inertial chain must stay consistent)
+            self.welding_iba(new_kid)
+        elif self.run_gba:
             self.global_bundle_adjust()
         # atlas: old map becomes active; new map dissolves
         self.atlas.maps.pop(m_new.map_id, None)

@@ -44,8 +44,19 @@ class KeyFrame:
     # float-native replacement for the BoW vector (SURVEY.md §2.3.3; see
     # retrieval.aggregate_global_desc)
     global_desc: np.ndarray = None
+    # inertial state (KeyFrame.h mVw/mImuBias/mpImuPreintegrated/mPrevKF):
+    # body velocity in world, gyro/acc bias, preintegration from prev_kf
+    vel: Optional[np.ndarray] = None  # (3,) None until IMU-initialized
+    bg: np.ndarray = None  # (3,)
+    ba: np.ndarray = None  # (3,)
+    pre_kf: object = None  # ops.imu.Preintegrated spanning prev_kf -> this
+    prev_kf: int = -1  # inertial chain predecessor
 
     def __post_init__(self):
+        if self.bg is None:
+            self.bg = np.zeros(3, np.float32)
+        if self.ba is None:
+            self.ba = np.zeros(3, np.float32)
         if self.angle is None:
             self.angle = np.zeros(len(self.kpts_un), np.float32)
         if self.octave is None:
@@ -159,7 +170,35 @@ class SlamMap:
         self.covis: Dict[int, Dict[int, int]] = {}
         self.kf_origin: Optional[int] = None
         self.change_index = 0
+        # inertial init schedule flags (Map.h mbImuInitialized/mbIMU_BA1/2)
         self.imu_initialized = False
+        self.imu_ba1 = False
+        self.imu_ba2 = False
+        # shared bias estimate at the last inertial init (linearization
+        # reference for edges not yet re-integrated)
+        self.imu_bg = np.zeros(3, np.float32)
+        self.imu_ba = np.zeros(3, np.float32)
+
+    def apply_scaled_rotation(self, R_wg: np.ndarray, s: float):
+        """Map::ApplyScaledRotation (/root/reference/src/Map.cc:300): rotate
+        the world so gravity becomes (0,0,-9.81) and rescale to metric.
+
+        Convention: new world X' = s * R_wg^T @ X, so camera poses become
+        R_cw' = R_cw @ R_wg, t_cw' = s * t_cw (camera-frame geometry scales
+        uniformly by s) and velocities v' = s * R_wg^T @ v."""
+        R_wg = np.asarray(R_wg, np.float32)
+        s = float(s)
+        for kf in self.keyframes.values():
+            kf.R = (kf.R @ R_wg).astype(np.float32)
+            kf.t = (s * kf.t).astype(np.float32)
+            if kf.vel is not None:
+                kf.vel = (s * (R_wg.T @ kf.vel)).astype(np.float32)
+        alive = self.points.alive
+        self.points.pos[alive] = s * (self.points.pos[alive] @ R_wg)
+        self.points.normal[alive] = self.points.normal[alive] @ R_wg
+        self.points.dmin[alive] *= s
+        self.points.dmax[alive] *= s
+        self.change_index += 1
 
     # -- keyframes ---------------------------------------------------------
 

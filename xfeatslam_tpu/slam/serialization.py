@@ -28,6 +28,35 @@ def _config_checksum(desc_dim: int) -> str:
     return hashlib.md5(f"xfeatslam_tpu:v{FORMAT_VERSION}:d{desc_dim}".encode()).hexdigest()
 
 
+def _flatten_pre(pre) -> np.ndarray:
+    """Preintegrated -> flat float32 (292,): dt, dR, dV, dP, cov15, 5x J, bg, ba."""
+    parts = [np.atleast_1d(np.asarray(pre.dt, np.float32))]
+    for a in (pre.dR, pre.dV, pre.dP, pre.cov, pre.JRg, pre.JVg, pre.JVa,
+              pre.JPg, pre.JPa, pre.bg, pre.ba):
+        parts.append(np.asarray(a, np.float32).reshape(-1))
+    return np.concatenate(parts)
+
+
+def _unflatten_pre(v: np.ndarray):
+    from ..ops.imu import Preintegrated
+
+    def take(n, shape):
+        nonlocal i
+        out = v[i:i + n].reshape(shape)
+        i += n
+        return out
+
+    i = 0
+    dt = v[0]
+    i = 1
+    return Preintegrated(
+        np.float32(dt), take(9, (3, 3)), take(3, (3,)), take(3, (3,)),
+        take(225, (15, 15)), take(9, (3, 3)), take(9, (3, 3)),
+        take(9, (3, 3)), take(9, (3, 3)), take(9, (3, 3)),
+        take(3, (3,)), take(3, (3,)),
+    )
+
+
 def save_map(m: SlamMap, f):
     kids = sorted(m.keyframes)
     kf_blobs = {}
@@ -43,9 +72,18 @@ def save_map(m: SlamMap, f):
         kf_blobs[f"kf{kid}_t"] = kf.t
         kf_blobs[f"kf{kid}_mp"] = kf.mp_ids
         kf_blobs[f"kf{kid}_meta"] = np.array(
-            [kf.frame_id, kf.parent], np.int64
+            [kf.frame_id, kf.parent, kf.prev_kf], np.int64
         )
         kf_blobs[f"kf{kid}_ts"] = np.float64(kf.timestamp)
+        # inertial state: velocity (nan when not yet estimated) + biases +
+        # the flattened preintegration from prev_kf (empty when none)
+        vel = np.full(3, np.nan, np.float32) if kf.vel is None else kf.vel
+        kf_blobs[f"kf{kid}_imu"] = np.concatenate(
+            [vel, kf.bg, kf.ba]).astype(np.float32)
+        kf_blobs[f"kf{kid}_pre"] = (
+            np.zeros(0, np.float32) if kf.pre_kf is None
+            else _flatten_pre(kf.pre_kf)
+        )
     n = m.points.n
     obs_flat = []
     for mp, o in m.obs.items():
@@ -59,6 +97,11 @@ def save_map(m: SlamMap, f):
             "desc_dim": m.desc_dim,
             "kf_ids": kids,
             "kf_origin": m.kf_origin,
+            "imu_initialized": m.imu_initialized,
+            "imu_ba1": m.imu_ba1,
+            "imu_ba2": m.imu_ba2,
+            "imu_bg": [float(x) for x in m.imu_bg],
+            "imu_ba": [float(x) for x in m.imu_ba],
             "checksum": _config_checksum(m.desc_dim),
         }).encode()),
         pts_pos=m.points.pos[:n],
@@ -97,9 +140,25 @@ def load_map(f) -> SlamMap:
             mp_ids=data[f"kf{kid}_mp"].copy(),
         )
         kf.parent = int(meta[1])
+        if len(meta) > 2:
+            kf.prev_kf = int(meta[2])
+        imu = data.get(f"kf{kid}_imu")
+        if imu is not None:
+            if np.isfinite(imu[0]):
+                kf.vel = imu[0:3].copy()
+            kf.bg = imu[3:6].copy()
+            kf.ba = imu[6:9].copy()
+        pre = data.get(f"kf{kid}_pre")
+        if pre is not None and len(pre):
+            kf.pre_kf = _unflatten_pre(pre)
         m.keyframes[kid] = kf
         m.covis.setdefault(kid, {})
     m.kf_origin = header["kf_origin"]
+    m.imu_initialized = bool(header.get("imu_initialized", False))
+    m.imu_ba1 = bool(header.get("imu_ba1", False))
+    m.imu_ba2 = bool(header.get("imu_ba2", False))
+    m.imu_bg = np.asarray(header.get("imu_bg", [0, 0, 0]), np.float32)
+    m.imu_ba = np.asarray(header.get("imu_ba", [0, 0, 0]), np.float32)
     # point store
     n = len(data["pts_pos"])
     while m.points.cap < n:

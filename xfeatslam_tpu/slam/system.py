@@ -26,9 +26,18 @@ from ..utils import io as io_utils
 
 
 class Sensor(enum.Enum):
+    """Sensor configurations (/root/reference/include/System.h:87-94)."""
+
     MONOCULAR = 0
     STEREO = 1
     RGBD = 2
+    IMU_MONOCULAR = 3
+    IMU_STEREO = 4
+    IMU_RGBD = 5
+
+
+_INERTIAL = {Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO, Sensor.IMU_RGBD}
+_MONO_LIKE = {Sensor.MONOCULAR, Sensor.IMU_MONOCULAR}
 
 
 class System:
@@ -77,7 +86,16 @@ class System:
         cfg = TrackerConfig(fps=settings.fps, th_depth=settings.th_depth,
                             binary=profile.binary, th_high=profile.th_high,
                             th_low=profile.th_low,
-                            n_levels=n_levels, scale_factor=scale_factor)
+                            n_levels=n_levels, scale_factor=scale_factor,
+                            insert_kfs_when_lost=getattr(
+                                settings, "insert_kfs_when_lost", True))
+        # inertial calibration (required for IMU_* sensors)
+        self.imu_calib = settings.imu if sensor in _INERTIAL else None
+        if sensor in _INERTIAL and self.imu_calib is None:
+            raise ValueError(
+                f"sensor {sensor.name} requires an IMU section in the config "
+                "(IMU.NoiseGyro/NoiseAcc/GyroWalk/AccWalk + IMU.T_b_c1)"
+            )
         self.local_mapping = None
         self.loop_closing = None
         if enable_loop_closing and enable_mapping:
@@ -85,43 +103,68 @@ class System:
 
             self.loop_closing = LoopClosing(
                 self.map, settings.cam, bf=settings.bf,
+                # scale is observable for everything but pure mono (gravity
+                # pins it in inertial modes once initialized)
                 fix_scale=(sensor != Sensor.MONOCULAR),
                 atlas=self.atlas,
             )
         self.tracking = Tracking(
             self.pipeline, self.map, settings.cam, cfg,
-            sensor="mono" if sensor == Sensor.MONOCULAR else "rgbd",
+            sensor="mono" if sensor in _MONO_LIKE else "rgbd",
             retrieval=self.loop_closing.retrieval if self.loop_closing else None,
             atlas=self.atlas,
+            imu_calib=self.imu_calib,
         )
         if enable_mapping:
             from .local_mapping import LocalMapping
 
-            self.local_mapping = LocalMapping(self.map, settings.cam,
-                                              bf=settings.bf, profile=profile)
+            self.local_mapping = LocalMapping(
+                self.map, settings.cam, bf=settings.bf, profile=profile,
+                imu_calib=self.imu_calib,
+                mono=(sensor == Sensor.IMU_MONOCULAR),
+                imu_init_time=settings.imu_init_time,
+                viba1_time=settings.viba1_time,
+                viba2_time=settings.viba2_time,
+            )
+            if self.loop_closing is not None and self.imu_calib is not None:
+                # MergeInertialBA: after an inertial map weld, refine the
+                # welding window jointly with the IMU chain. The hook fires
+                # mid-merge, before _run_backend rebinds maps — point
+                # local_mapping at the welded map first.
+                def _welding_iba(kid):
+                    self.local_mapping.map = self.loop_closing.map
+                    self.local_mapping._ba_session = None
+                    self.local_mapping._local_inertial_ba(
+                        kid, window=16, fix_anchor=True)
+
+                self.loop_closing.welding_iba = _welding_iba
 
     def track_rgbd(self, gray: np.ndarray, depth_raw: np.ndarray,
-                   timestamp: float):
-        """Returns (state, (R,t) world->camera or None)."""
+                   timestamp: float, imu=None):
+        """Returns (state, (R,t) world->camera or None). imu: list of
+        (acc (3,), gyro (3,), t) samples since the previous frame
+        (System::TrackRGBD vImuMeas, /root/reference/src/System.cc:235)."""
         with self.timer.span("track"):
-            state, pose = self.tracking.grab_rgbd(gray, depth_raw, timestamp)
+            state, pose = self.tracking.grab_rgbd(gray, depth_raw, timestamp,
+                                                  imu=imu)
         with self.timer.span("backend"):
             self._run_backend()
         return state, pose
 
     def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray,
-                     timestamp: float):
+                     timestamp: float, imu=None):
         """Rectified stereo tracking (System::TrackStereo role)."""
         with self.timer.span("track"):
-            state, pose = self.tracking.grab_stereo(gray_l, gray_r, timestamp)
+            state, pose = self.tracking.grab_stereo(gray_l, gray_r, timestamp,
+                                                    imu=imu)
         with self.timer.span("backend"):
             self._run_backend()
         return state, pose
 
-    def track_monocular(self, gray: np.ndarray, timestamp: float):
+    def track_monocular(self, gray: np.ndarray, timestamp: float, imu=None):
         """Monocular tracking (System::TrackMonocular role)."""
         with self.timer.span("track"):
-            state, pose = self.tracking.grab_mono(gray, timestamp)
+            state, pose = self.tracking.grab_mono(gray, timestamp, imu=imu)
         with self.timer.span("backend"):
             self._run_backend()
         return state, pose
@@ -153,6 +196,12 @@ class System:
             if self.loop_closing is not None:
                 self.loop_closing.process_keyframe(kid)
             ran = True
+        if not ran:
+            # no KF this frame: advance the budgeted local-BA session by one
+            # round (the "background thread" time slice)
+            had_session = self.local_mapping._ba_session is not None
+            self.local_mapping.tick()
+            ran = had_session
         if ran:
             if (self.loop_closing is not None
                     and self.loop_closing.map is not self.map):
@@ -165,6 +214,7 @@ class System:
                 # keyframe ids were offset by the merge; the tracker's
                 # reference must be re-resolved
                 self.tracking.ref_kf = max(self.map.keyframes)
+                self.tracking.last_kf_id = self.tracking.ref_kf
                 self.tracking.next_kf_id = max(self.map.keyframes) + 1
                 self.tracking._rel_pose = None
                 if self.tracking.last_frame is not None:
@@ -177,6 +227,13 @@ class System:
                     lf.mp_ids = kf.mp_ids.copy()
                     lf.inlier = lf.mp_ids >= 0
                 self.tracking.velocity = None
+            # an IMU initialization rescaled/rotated the whole map: transform
+            # the tracker's frame-local state the same way
+            if (self.local_mapping is not None
+                    and self.local_mapping.pending_map_transform is not None):
+                s, R_wg = self.local_mapping.pending_map_transform
+                self.local_mapping.pending_map_transform = None
+                self.tracking.apply_map_transform(s, R_wg)
             # the backend may have moved keyframes (local BA): re-base the
             # tracker's last-frame pose on its reference KF
             self.tracking.reanchor_last_frame()

@@ -13,10 +13,12 @@ import enum
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import camera as camera_ops
+from ..ops import imu as imu_ops
 from ..ops import lie
 from ..ops import matching
 from ..optim import pose_opt
@@ -24,6 +26,24 @@ from .frame import Frame, FramePipeline
 from .map import KeyFrame, SlamMap
 
 LOCAL_MP_BUCKET = 4096  # static shape for local-map snapshots
+
+
+def np_cam_to_body(R_cw, t_cw, R_bc, t_bc):
+    """T_cw (world->camera) -> body state (R_wb, p_wb), host numpy."""
+    R_wc = R_cw.T
+    C_w = -R_wc @ t_cw
+    R_wb = R_wc @ R_bc.T
+    p_wb = C_w - R_wb @ t_bc
+    return R_wb.astype(np.float32), p_wb.astype(np.float32)
+
+
+def np_body_to_cam(R_wb, p_wb, R_bc, t_bc):
+    """Body state -> T_cw (world->camera), host numpy."""
+    R_wc = R_wb @ R_bc
+    C_w = p_wb + R_wb @ t_bc
+    R_cw = R_wc.T
+    t_cw = -R_cw @ C_w
+    return R_cw.astype(np.float32), t_cw.astype(np.float32)
 
 
 class State(enum.Enum):
@@ -67,6 +87,10 @@ class TrackerConfig:
     # reference-KF matching threshold: generous for float descriptors
     # (SearchByBoW TH_LOW is tight for trained weights), raw th_low for ORB
     refkf_max_dist: Optional[float] = None
+    # keep anchoring the inertial chain with keyframes while RECENTLY_LOST
+    # (IMU.InsertKFsWhenLost, Settings.h:93 / Tracking.cc NeedNewKeyFrame
+    # inertial branch)
+    insert_kfs_when_lost: bool = True
 
     def __post_init__(self):
         if self.refkf_max_dist is None:
@@ -78,10 +102,18 @@ class TrackerConfig:
 class Tracking:
     def __init__(self, pipeline: FramePipeline, slam_map: SlamMap,
                  cam: camera_ops.Pinhole, config: TrackerConfig = None,
-                 sensor: str = "rgbd", retrieval=None, atlas=None):
+                 sensor: str = "rgbd", retrieval=None, atlas=None,
+                 imu_calib: Optional[imu_ops.ImuCalib] = None):
         self.pipeline = pipeline
         self.map = slam_map
         self.sensor = sensor
+        # inertial state (GrabImuData/PreintegrateIMU,
+        # /root/reference/src/Tracking.cc:1645-1760)
+        self.imu_calib = imu_calib
+        self.imu_queue: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        self._pre_from_kf = None  # Preintegrated: last KF -> last frame
+        self._pre_cur = None  # Preintegrated: last KF -> current frame
+        self.last_kf_id: Optional[int] = None  # most recent created KF
         self.retrieval = retrieval  # shared with LoopClosing (reloc queries)
         self.atlas = atlas  # multi-map recovery (Atlas), optional
         self.cam = cam
@@ -103,24 +135,85 @@ class Tracking:
 
     # ------------------------------------------------------------------ API
 
-    def grab_rgbd(self, gray, depth_raw, timestamp) -> Tuple[State, Optional[Tuple[np.ndarray, np.ndarray]]]:
+    def grab_rgbd(self, gray, depth_raw, timestamp, imu=None) -> Tuple[State, Optional[Tuple[np.ndarray, np.ndarray]]]:
+        self._queue_imu(imu)
         frame = self.pipeline.build_rgbd(gray, depth_raw, timestamp)
         return self._track(frame)
 
-    def grab_mono(self, gray, timestamp) -> Tuple[State, Optional[Tuple[np.ndarray, np.ndarray]]]:
+    def grab_mono(self, gray, timestamp, imu=None) -> Tuple[State, Optional[Tuple[np.ndarray, np.ndarray]]]:
+        self._queue_imu(imu)
         frame = self.pipeline.build_mono(gray, timestamp)
         return self._track(frame)
 
-    def grab_stereo(self, gray_l, gray_r, timestamp) -> Tuple[State, Optional[Tuple[np.ndarray, np.ndarray]]]:
+    def grab_stereo(self, gray_l, gray_r, timestamp, imu=None) -> Tuple[State, Optional[Tuple[np.ndarray, np.ndarray]]]:
         """Stereo tracking (GrabImageStereo role,
         /root/reference/src/Tracking.cc:1461): stereo depth drives the same
         RGB-D-style init/point-creation path."""
+        self._queue_imu(imu)
         frame = self.pipeline.build_stereo(gray_l, gray_r, timestamp)
         return self._track(frame)
 
+    def grab_imu(self, acc, gyro, timestamp: float):
+        """GrabImuData (/root/reference/src/Tracking.cc:1645): enqueue one
+        IMU sample (body-frame acc m/s^2, gyro rad/s)."""
+        self.imu_queue.append((float(timestamp),
+                               np.asarray(acc, np.float32),
+                               np.asarray(gyro, np.float32)))
+
+    def _queue_imu(self, imu):
+        if imu:
+            for (acc, gyro, t) in imu:
+                self.grab_imu(acc, gyro, t)
+
     # ------------------------------------------------------------ internals
 
+    def _current_bias(self):
+        kf = self.map.keyframes.get(self.last_kf_id)
+        if kf is not None and kf.bg is not None:
+            return kf.bg, kf.ba
+        return self.map.imu_bg, self.map.imu_ba
+
+    def _preintegrate(self, frame: Frame):
+        """PreintegrateIMU (/root/reference/src/Tracking.cc:1692): integrate
+        queued samples in (t_last, t_cur] at the current bias estimate;
+        maintain both the from-last-frame segment and the from-last-KF
+        accumulation (mpImuPreintegratedFromLastKF)."""
+        t_cur = frame.timestamp
+        if self.last_frame is None:
+            self.imu_queue = [s for s in self.imu_queue if s[0] > t_cur]
+            frame.pre_last = None
+            self._pre_cur = None
+            return
+        t_prev = self.last_frame.timestamp
+        take = [s for s in self.imu_queue if t_prev < s[0] <= t_cur + 1e-9]
+        self.imu_queue = [s for s in self.imu_queue if s[0] > t_cur + 1e-9]
+        seg = None
+        if take:
+            bg, ba = self._current_bias()
+            ts = np.array([s[0] for s in take])
+            dts = np.diff(np.concatenate([[t_prev], ts])).astype(np.float32)
+            seg = imu_ops.preintegrate_segment(
+                np.stack([s[1] for s in take]),
+                np.stack([s[2] for s in take]),
+                dts, bg, ba, self.imu_calib,
+            )
+        frame.pre_last = seg
+        if seg is not None:
+            if self._pre_from_kf is None:
+                self._pre_cur = seg
+            else:
+                merged = imu_ops.merge_previous(self._pre_from_kf, seg)
+                self._pre_cur = imu_ops.Preintegrated(*jax.device_get(
+                    tuple(merged)))
+        else:
+            self._pre_cur = self._pre_from_kf
+
     def _track(self, frame: Frame):
+        if self._check_timestamp_jump(frame):
+            self.last_frame = frame
+            return self.state, None
+        if self.imu_calib is not None:
+            self._preintegrate(frame)
         if self.state in (State.NO_IMAGES, State.NOT_INITIALIZED):
             self.state = State.NOT_INITIALIZED
             init = (self._initialize_rgbd(frame) if self.sensor == "rgbd"
@@ -182,12 +275,30 @@ class Tracking:
                     frame.R = self.last_frame.R.copy()
                     frame.t = self.last_frame.t.copy()
                 self.velocity = None
+                # inertial: keep anchoring the preintegration chain with
+                # keyframes at the IMU-predicted pose so the map can absorb
+                # the dead-reckoned stretch once tracking recovers
+                # (InsertKFsWhenLost, Tracking.cc NeedNewKeyFrame inertial)
+                last_kf = self.map.keyframes.get(self.last_kf_id)
+                if (self.state == State.RECENTLY_LOST
+                        and self.cfg.insert_kfs_when_lost
+                        and self.imu_calib is not None
+                        and self.map.imu_initialized
+                        and frame.R is not None
+                        and self._pre_cur is not None
+                        and last_kf is not None
+                        and frame.timestamp - last_kf.timestamp >= 0.25):
+                    self._create_keyframe(frame)
 
         if frame.R is not None:
             self.trajectory.append(
                 (frame.timestamp, frame.R.copy(), frame.t.copy(), self.state)
             )
         self.last_frame = frame
+        if self.imu_calib is not None:
+            # roll the from-last-KF accumulation forward (None right after a
+            # KF was created from this frame — the accumulator restarts)
+            self._pre_from_kf = self._pre_cur
         pose = (frame.R, frame.t) if frame.R is not None else None
         return self.state, pose
 
@@ -220,7 +331,40 @@ class Tracking:
 
     # -- pose tracking -------------------------------------------------------
 
+    def _imu_anchor(self):
+        """The inertial anchor state: the most recent keyframe with a
+        velocity estimate (mpLastKeyFrame). Returns (kf, R_wb, p_wb) or
+        None before IMU initialization."""
+        if not (self.imu_calib is not None and self.map.imu_initialized):
+            return None
+        kf = self.map.keyframes.get(self.last_kf_id)
+        if kf is None or kf.vel is None or self._pre_cur is None:
+            return None
+        cal = self.imu_calib
+        R_wb, p_wb = np_cam_to_body(kf.R, kf.t, cal.R_bc, cal.t_bc)
+        return kf, R_wb, p_wb
+
     def _predict_pose(self, frame: Frame):
+        anchor = self._imu_anchor()
+        if anchor is not None:
+            # PredictStateIMU (/root/reference/src/Tracking.cc:1765):
+            # propagate the last KF's state through the accumulated
+            # preintegration at the KF's bias
+            kf, R_wb, p_wb = anchor
+            cal = self.imu_calib
+            pre = jax.tree_util.tree_map(jnp.asarray, self._pre_cur)
+            R_nb, p_nb, v_nb = imu_ops.predict_state(
+                jnp.asarray(R_wb), jnp.asarray(p_wb), jnp.asarray(kf.vel),
+                pre, jnp.asarray(kf.bg), jnp.asarray(kf.ba),
+            )
+            R_nb = lie.np_normalize_rotation(np.asarray(R_nb))
+            frame.R, frame.t = np_body_to_cam(
+                R_nb, np.asarray(p_nb), cal.R_bc, cal.t_bc
+            )
+            frame.v_w = np.asarray(v_nb, np.float32)
+            frame.bg = kf.bg.copy()
+            frame.ba = kf.ba.copy()
+            return
         if self.velocity is not None:
             Rv, tv = self.velocity
             # SO3 projection here is load-bearing: without it the velocity
@@ -267,6 +411,12 @@ class Tracking:
             self.cfg.scale_factor ** (2.0 * frame.octave.astype(np.float32))
         )
         inv_s2 = jnp.asarray((1.0 / sigma2).astype(np.float32))
+        anchor = self._imu_anchor()
+        if anchor is not None:
+            return self._pose_optimize_inertial(
+                frame, anchor, jnp.asarray(Xw), inv_s2,
+                jnp.asarray(is_stereo), jnp.asarray(valid),
+            )
         res = pose_opt.pose_optimization(
             jnp.asarray(frame.R), jnp.asarray(frame.t),
             jnp.asarray(Xw), jnp.asarray(frame.kpts_un),
@@ -276,10 +426,50 @@ class Tracking:
             jnp.asarray(valid),
             self.cam, jnp.float32(self.pipeline.bf),
         )
-        frame.R = lie.np_normalize_rotation(np.asarray(res.R))
+        res = jax.device_get(res)
+        frame.R = lie.np_normalize_rotation(res.R)
         frame.t = np.asarray(res.t)
-        frame.inlier = np.asarray(res.inliers)
+        frame.inlier = res.inliers
         # drop outlier bindings (reference clears mvpMapPoints for outliers)
+        frame.mp_ids = np.where(frame.inlier, frame.mp_ids, -1)
+        return int(res.num_inliers)
+
+    def _pose_optimize_inertial(self, frame: Frame, anchor, Xw, inv_s2,
+                                is_stereo, valid) -> int:
+        """PoseInertialOptimizationLastKeyFrame role
+        (/root/reference/src/Optimizer.cc:4491): joint 15-D body state from
+        reprojection edges plus the inertial edge to the last keyframe."""
+        from ..optim import inertial as in_opt
+
+        kf, R_wb_i, p_wb_i = anchor
+        cal = self.imu_calib
+        # re-linearize the accumulated preintegration at the anchor's bias so
+        # the bias-walk edge measures drift from the KF's bias
+        pre = imu_ops.relinearize(
+            jax.tree_util.tree_map(jnp.asarray, self._pre_cur),
+            jnp.asarray(kf.bg), jnp.asarray(kf.ba),
+        )
+        R_wb_j, p_wb_j = np_cam_to_body(frame.R, frame.t, cal.R_bc, cal.t_bc)
+        v_j = frame.v_w if frame.v_w is not None else kf.vel
+        res = in_opt.pose_inertial_optimization(
+            jnp.asarray(R_wb_j), jnp.asarray(p_wb_j), jnp.asarray(v_j),
+            jnp.asarray(kf.bg), jnp.asarray(kf.ba),
+            jnp.asarray(R_wb_i), jnp.asarray(p_wb_i), jnp.asarray(kf.vel),
+            pre,
+            Xw, jnp.asarray(frame.kpts_un), jnp.asarray(frame.ur),
+            inv_s2, is_stereo, valid,
+            self.cam, jnp.float32(self.pipeline.bf),
+            jnp.asarray(cal.R_bc), jnp.asarray(cal.t_bc),
+        )
+        res = jax.device_get(res)
+        R_wb = lie.np_normalize_rotation(res.R_wb)
+        frame.R, frame.t = np_body_to_cam(
+            R_wb, res.p_wb, cal.R_bc, cal.t_bc
+        )
+        frame.v_w = np.asarray(res.v_w, np.float32)
+        frame.bg = np.asarray(res.bg, np.float32)
+        frame.ba = np.asarray(res.ba, np.float32)
+        frame.inlier = res.inliers
         frame.mp_ids = np.where(frame.inlier, frame.mp_ids, -1)
         return int(res.num_inliers)
 
@@ -322,8 +512,7 @@ class Tracking:
             kpt_free=jnp.asarray(kpt_free), binary=self.cfg.binary,
             **oct_kw,
         )
-        idx = np.asarray(res.idx)
-        mask = np.asarray(res.mask)
+        idx, mask = jax.device_get((res.idx, res.mask))
         if mp_angle is not None:
             mask = matching.rotation_consistency_filter(
                 mp_angle, frame.angle, np.clip(idx, 0, None), mask
@@ -337,14 +526,107 @@ class Tracking:
             n += 1
         return n
 
+    def _inv_sigma2(self, frame: Frame):
+        sigma2 = self.cfg.obs_sigma ** 2 * (
+            self.cfg.scale_factor ** (2.0 * frame.octave.astype(np.float32))
+        )
+        return (1.0 / sigma2).astype(np.float32)
+
+    def _fused_step(self, frame: Frame, pos, desc, valid_mp, mp_angle,
+                    mp_octave, ids, radius, widen_below,
+                    dmin=None, dmax=None, normal=None,
+                    keep_existing=False, scale_gate=False) -> int:
+        """Run the single-dispatch fused match+pose step
+        (optim/track_step.py) and apply bindings/pose on the host. Returns
+        pose-opt inlier count; also records the new-match count in
+        self._last_n_matched.
+
+        dmax feeds the predicted-scale gate even when the distance-band
+        gate is off (band gating iff dmin is given)."""
+        from ..optim import track_step
+
+        M = len(pos)
+        zeros_m = np.zeros(M, np.float32)
+        if keep_existing:
+            bound = frame.mp_ids >= 0
+            safe = np.where(bound, frame.mp_ids, 0)
+            prev_Xw = self.map.points.pos[safe].astype(np.float32)
+            prev_valid = bound & self.map.points.alive[safe]
+            kpt_free = ~bound
+        else:
+            prev_Xw = np.zeros((len(frame.kpts_un), 3), np.float32)
+            prev_valid = np.zeros(len(frame.kpts_un), bool)
+            kpt_free = np.ones(len(frame.kpts_un), bool)
+        res = track_step.match_pose_step(
+            jnp.asarray(frame.R), jnp.asarray(frame.t),
+            jnp.asarray(pos.astype(np.float32)),
+            jnp.asarray(desc.astype(np.float32) if not self.cfg.binary
+                        else desc),
+            jnp.asarray(valid_mp), jnp.asarray(mp_angle.astype(np.float32)),
+            jnp.asarray(mp_octave.astype(np.int32)),
+            jnp.asarray(zeros_m if dmin is None else dmin.astype(np.float32)),
+            jnp.asarray(zeros_m + 1e9 if dmax is None else dmax.astype(np.float32)),
+            jnp.asarray(np.zeros((M, 3), np.float32) if normal is None
+                        else normal.astype(np.float32)),
+            jnp.asarray(frame.kpts_un), jnp.asarray(frame.desc),
+            jnp.asarray(frame.valid), jnp.asarray(frame.angle),
+            jnp.asarray(frame.octave.astype(np.int32)),
+            jnp.asarray(frame.ur), jnp.asarray(self._inv_sigma2(frame)),
+            jnp.asarray(kpt_free),
+            jnp.asarray(prev_Xw), jnp.asarray(prev_valid),
+            self.cam, jnp.float32(self.pipeline.bf),
+            jnp.float32(radius),
+            jnp.float32(self.cfg.th_low if self.cfg.binary
+                        else self.cfg.th_high),
+            jnp.float32(0.9), jnp.int32(widen_below),
+            jnp.float32(self.cfg.scale_factor),
+            jnp.float32(2.0 * float(self.cam.cx)),
+            jnp.float32(2.0 * float(self.cam.cy)),
+            binary=self.cfg.binary, scale_gate=scale_gate,
+            band_gate=dmin is not None, n_levels=self.cfg.n_levels,
+        )
+        res = jax.device_get(res)  # one batched transfer for all outputs
+        slot_mp = res.slot_mp
+        inlier = res.inlier
+        new = slot_mp >= 0
+        if keep_existing:
+            new &= frame.mp_ids < 0
+        frame.mp_ids = np.where(new, ids[np.clip(slot_mp, 0, None)],
+                                frame.mp_ids)
+        frame.R = lie.np_normalize_rotation(res.R)
+        frame.t = np.asarray(res.t)
+        frame.inlier = inlier
+        frame.mp_ids = np.where(inlier, frame.mp_ids, -1)
+        self._last_n_matched = int(res.n_matched)
+        return int(res.n_inliers)
+
     def _track_with_motion_model(self, frame: Frame) -> bool:
         """TrackWithMotionModel (/root/reference/src/Tracking.cc:2892):
         const-velocity predict, project last frame's points, widen x2 on
-        failure, pose-optimize, require >=10 inlier map matches."""
+        failure, pose-optimize, require >=10 inlier map matches.
+
+        Non-inertial: the whole step (project+match+rotation check+widen+
+        pose LM) is ONE fused dispatch (optim/track_step.py). Inertial mode
+        keeps the split path — its pose solve is the visual-inertial one."""
         if self.last_frame is None or self.last_frame.R is None:
             return False
         self._predict_pose(frame)
         last = self.last_frame
+        if self.imu_calib is None:
+            bound = (last.mp_ids >= 0) & last.inlier
+            ids = np.where(bound, last.mp_ids, 0)
+            valid_mp = bound & self.map.points.alive[ids]
+            frame.mp_ids = np.full_like(frame.mp_ids, -1)
+            inl = self._fused_step(
+                frame, self.map.points.pos[ids], self.map.points.desc[ids],
+                valid_mp, self.map.points.angle[ids], last.octave,
+                np.where(bound, last.mp_ids, -1),
+                radius=self.cfg.motion_radius,
+                widen_below=self.cfg.min_inliers_motion,
+            )
+            if self._last_n_matched < self.cfg.min_inliers_motion:
+                return False
+            return inl >= 10
         bound = (last.mp_ids >= 0) & last.inlier
         ids = last.mp_ids.copy()
         pos = self.map.points.pos[np.where(bound, ids, 0)]
@@ -397,8 +679,7 @@ class Tracking:
             max_dist=jnp.float32(self.cfg.refkf_max_dist), ratio=0.7,
             binary=self.cfg.binary,
         )
-        idx = np.asarray(res.idx)
-        mask = np.asarray(res.mask)
+        idx, mask = jax.device_get((res.idx, res.mask))
         mask = matching.rotation_consistency_filter(
             kf.angle, frame.angle, np.clip(idx, 0, None), mask
         )
@@ -447,6 +728,32 @@ class Tracking:
             return False
         self._last_local_ids = np.asarray(ids)  # for creation-time dedup
         pos, desc, valid, padded_ids = self.map.point_snapshot(ids, LOCAL_MP_BUCKET)
+        if self.imu_calib is None:
+            # fused single-dispatch step: frustum/band/scale gates + match +
+            # pose LM in one graph; existing bindings ride along as pose
+            # edges (keep_existing)
+            bound_set = set(frame.mp_ids[frame.mp_ids >= 0].tolist())
+            fresh = np.array(
+                [i >= 0 and int(i) not in bound_set for i in padded_ids], bool
+            )
+            self.map.points.visible[ids[self.map.points.alive[ids]]] += 1
+            safe_ids = np.clip(padded_ids, 0, None)
+            # NOTE: distance-band/viewing-angle gates (dmin/dmax/normal) are
+            # intentionally not passed — parity with the validated split
+            # path, which projects without bands (predicted-scale gates
+            # below carry the scale discrimination)
+            inl = self._fused_step(
+                frame, pos, desc, valid & fresh,
+                self.map.points.angle[safe_ids],
+                self.map.points.octave[safe_ids], padded_ids,
+                radius=self.cfg.local_radius, widen_below=0,
+                dmax=self.map.points.dmax[safe_ids],
+                keep_existing=True, scale_gate=True,
+            )
+            found = frame.mp_ids[(frame.mp_ids >= 0) & frame.inlier]
+            self.map.points.found[found] += 1
+            self.matches_inliers = inl
+            return inl >= self.cfg.min_inliers_local
         # skip points already matched in the frame
         bound_set = set(frame.mp_ids[frame.mp_ids >= 0].tolist())
         fresh = np.array(
@@ -504,6 +811,21 @@ class Tracking:
         self.last_frame.R = lie.np_normalize_rotation(R_rel @ kf.R)
         self.last_frame.t = (R_rel @ kf.t + t_rel).astype(np.float32)
 
+    def apply_map_transform(self, s: float, R_wg: np.ndarray):
+        """The backend rescaled/rotated the map (IMU initialization,
+        Map::ApplyScaledRotation): transform the tracker's frame-local state
+        the same way so the next motion step matches the moved map."""
+        lf = self.last_frame
+        if lf is not None and lf.R is not None:
+            lf.R = lie.np_normalize_rotation(lf.R @ R_wg)
+            lf.t = (s * lf.t).astype(np.float32)
+            if lf.v_w is not None:
+                lf.v_w = (s * (R_wg.T @ lf.v_w)).astype(np.float32)
+        if getattr(self, "_rel_pose", None) is not None:
+            kid, R_rel, t_rel = self._rel_pose
+            self._rel_pose = (kid, R_rel, (s * t_rel).astype(np.float32))
+        self.velocity = None  # scale changed; constant-velocity is stale
+
     def _update_velocity(self, frame: Frame):
         lf = self.last_frame
         if lf is not None and lf.R is not None:
@@ -531,7 +853,20 @@ class Tracking:
             t=frame.t.copy(),
             mp_ids=frame.mp_ids.copy(),
         )
+        if self.imu_calib is not None:
+            # inertial chain bookkeeping (CreateNewKeyFrame,
+            # /root/reference/src/Tracking.cc:3254: mpImuPreintegratedFromLastKF
+            # moves onto the KF; the tracker's accumulator restarts here)
+            kf.prev_kf = self.last_kf_id if self.last_kf_id is not None else -1
+            kf.pre_kf = self._pre_cur
+            kf.vel = None if frame.v_w is None else frame.v_w.copy()
+            bg, ba = self._current_bias()
+            kf.bg = (frame.bg if frame.bg is not None else bg).copy()
+            kf.ba = (frame.ba if frame.ba is not None else ba).copy()
+            self._pre_from_kf = None
+            self._pre_cur = None
         self.next_kf_id += 1
+        self.last_kf_id = kf.kid
         self.map.add_keyframe(kf)
         self.new_keyframes.append(kf.kid)
         self.stats["kfs"] += 1
@@ -551,6 +886,12 @@ class Tracking:
         # insertion until tracking has already degraded.
         min_obs = 3 if self.map.num_keyframes() > 2 else 2
         ratio = self.cfg.kf_ref_ratio if self.map.num_keyframes() >= 2 else 0.4
+        if self.sensor == "mono" and self.map.num_keyframes() >= 2:
+            # mono redundancy drops slowly — the reference demands a higher
+            # ratio (thRefRatio=0.9, Tracking.cc:3180-3190; IMU_MONOCULAR
+            # relaxes to 0.75 only above 350 local-map inliers)
+            ratio = 0.75 if (self.imu_calib is not None
+                             and self.matches_inliers > 350) else 0.9
         ref_mps = ref.mp_ids[ref.mp_ids >= 0]
         n_ref = int((self.map.points.n_obs[ref_mps] >= min_obs).sum()) if len(ref_mps) else 0
         tracked = (frame.mp_ids >= 0) & frame.inlier
@@ -564,7 +905,19 @@ class Tracking:
         c1b = frame.fid >= self.last_kf_frame_id + 3  # mild throttle: sync mapping is always idle, and per-frame KF bursts ratchet pose error into the map
         c1c = n_tracked < n_ref * 0.25 or need_close
         c2 = (n_tracked < n_ref * ratio or need_close) and n_tracked > 15
-        return (c1a or c1b or c1c) and c2
+        # c3: temporal condition for inertial modes — the preintegration
+        # chain must stay dense regardless of visual redundancy (>=0.5 s
+        # since the last KF, Tracking.cc:3206-3220)
+        c3 = False
+        if self.imu_calib is not None:
+            last_kf = self.map.keyframes.get(self.last_kf_id)
+            if last_kf is not None and frame.timestamp - last_kf.timestamp >= 0.5:
+                c3 = True
+        # c4: weakly-tracked mono-inertial frames anchor a KF immediately
+        # (Tracking.cc:3222-3226)
+        c4 = (self.imu_calib is not None and self.sensor == "mono"
+              and 15 < n_tracked < 75)
+        return ((c1a or c1b or c1c) and c2) or c3 or c4
 
     def _create_keyframe(self, frame: Frame):
         """CreateNewKeyFrame (/root/reference/src/Tracking.cc:3254): bind
@@ -686,6 +1039,14 @@ class Tracking:
 
         kf1 = self._make_keyframe(ref)
         kf2 = self._make_keyframe(frame)
+        if self.imu_calib is not None:
+            # the chain starts at kf1; the kf1->kf2 edge is the current
+            # frame's from-last-frame segment (ref IS the previous frame:
+            # _mono_init_frame advances every round)
+            kf1.pre_kf = None
+            kf1.prev_kf = -1
+            kf2.pre_kf = frame.pre_last
+            kf2.prev_kf = kf1.kid
         for slot1 in np.nonzero(good)[0]:
             slot2 = int(idx[slot1])
             mp = self.map.create_point(
@@ -838,6 +1199,41 @@ class Tracking:
                     return True
         return False
 
+    def _check_timestamp_jump(self, frame: Frame) -> bool:
+        """Timestamp-anomaly handling (Tracking.cc:1845-1882): an
+        older-than-previous timestamp always starts a new map; a gap >1 s in
+        inertial mode resets the active map (pre-VIBA2) or freezes it and
+        starts a new one (post-VIBA2). Returns True when the frame was
+        consumed by a reset."""
+        if self.state in (State.NO_IMAGES, State.NOT_INITIALIZED) or \
+                self.last_frame is None or self.atlas is None:
+            return False
+        if self.last_frame.timestamp > frame.timestamp:
+            self.imu_queue.clear()
+            self._switch_to_new_map(reset_current=False)
+            return True
+        if (self.imu_calib is not None
+                and frame.timestamp > self.last_frame.timestamp + 1.0):
+            keep = self.map.imu_initialized and self.map.imu_ba2
+            self._switch_to_new_map(reset_current=not keep)
+            return True
+        return False
+
+    def _switch_to_new_map(self, reset_current: bool):
+        """CreateMapInAtlas / ResetActiveMap (Tracking.cc:2298-2347)."""
+        if reset_current:
+            self.atlas.remove_map(self.map.map_id)
+        self.map = self.atlas.create_new_map()
+        self.state = State.NOT_INITIALIZED
+        self.velocity = None
+        self.ref_kf = None
+        self._mono_init_frame = None
+        # inertial chain does not cross maps
+        self._pre_from_kf = None
+        self._pre_cur = None
+        self.last_kf_id = None
+        self.stats["map_resets"] = self.stats.get("map_resets", 0) + 1
+
     def _handle_lost_map(self, frame: Frame):
         """LOST with no reloc: small maps are reset, mature maps are frozen
         and a new one starts (Tracking.cc:2298-2316 + CreateMapInAtlas)."""
@@ -847,12 +1243,4 @@ class Tracking:
                 frame.R = self.last_frame.R.copy()
                 frame.t = self.last_frame.t.copy()
             return
-        if self.map.num_keyframes() < 10:
-            # reset active map (System::ResetActiveMap role)
-            self.atlas.remove_map(self.map.map_id)
-        self.map = self.atlas.create_new_map()
-        self.state = State.NOT_INITIALIZED
-        self.velocity = None
-        self.ref_kf = None
-        self._mono_init_frame = None
-        self.stats["map_resets"] = self.stats.get("map_resets", 0) + 1
+        self._switch_to_new_map(reset_current=self.map.num_keyframes() < 10)

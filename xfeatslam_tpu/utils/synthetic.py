@@ -81,16 +81,20 @@ class RoomScene:
                                                  n_speckles=400)))
 
     def render(self, K: np.ndarray, R_cw: np.ndarray, t_cw: np.ndarray,
-               hw: Tuple[int, int]):
+               hw: Tuple[int, int], rays_c: np.ndarray = None):
         """Render grayscale + depth for camera pose Tcw=(R_cw,t_cw).
 
-        Returns (gray uint8 (H,W), depth float32 (H,W) meters, >0 valid).
+        rays_c: optional (H,W,3) per-pixel camera rays (z=1 normalized) for
+        non-pinhole models (fisheye); default = pinhole rays from K.
+        Returns (gray uint8 (H,W), depth float32 (H,W) z-depth, >0 valid).
         """
         H, W = hw
-        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-        u, v = np.meshgrid(np.arange(W, dtype=np.float32),
-                           np.arange(H, dtype=np.float32))
-        rays_c = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
+        if rays_c is None:
+            fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+            u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                               np.arange(H, dtype=np.float32))
+            rays_c = np.stack([(u - cx) / fx, (v - cy) / fy,
+                               np.ones_like(u)], -1)
         R_wc = R_cw.T
         C = -R_wc @ t_cw  # camera center in world
         rays_w = rays_c @ R_wc.T  # (H,W,3)
@@ -218,6 +222,135 @@ def make_sequence(n_frames: int = 60, hw=(480, 640), K=None, seed: int = 0,
         "poses": poses,
         "K": K,
     }
+
+
+def make_vi_sequence(n_frames: int = 50, fps: float = 10.0,
+                     imu_rate: float = 200.0, hw=(480, 640), K=None,
+                     seed: int = 0, g_dir=None, bg=None, ba=None,
+                     noise_gyro: float = 0.0, noise_acc: float = 0.0,
+                     T_bc: np.ndarray = None, render_depth: bool = True):
+    """Rendered visual-inertial sequence: the RoomScene viewed along a
+    smooth, analytically-differentiable body trajectory with consistent IMU.
+
+    World gravity is 9.81 * g_dir (default tilted, NOT -z, so gravity
+    alignment is non-trivial). Gyro is exact by construction (rotation is
+    integrated from the analytic angular velocity at the IMU rate);
+    accelerometer comes from the analytic second derivative:
+    a_body = R_wb^T (p_ddot - g) + ba + noise.
+
+    Returns dict: images, depths, timestamps, poses (R_cw,t_cw GT),
+    imu (list per frame: samples strictly after the previous frame up to and
+    including this frame, as (acc, gyro, t) tuples), p_wb/R_wb/v_w GT body
+    states at frame times, g_w, K.
+    """
+    if K is None:
+        K = np.array(
+            [[517.3, 0, 318.6], [0, 516.5, 255.3], [0, 0, 1]], np.float32
+        )
+    if T_bc is None:
+        T_bc = np.eye(4, dtype=np.float32)
+    R_bc = T_bc[:3, :3].astype(np.float64)
+    t_bc = T_bc[:3, 3].astype(np.float64)
+    rng = np.random.default_rng(seed)
+    if g_dir is None:
+        g_dir = np.array([0.15, -0.1, -0.98])
+    g_dir = np.asarray(g_dir, np.float64)
+    g_dir /= np.linalg.norm(g_dir)
+    g_w = 9.81 * g_dir
+    bg = np.zeros(3) if bg is None else np.asarray(bg, np.float64)
+    ba = np.zeros(3) if ba is None else np.asarray(ba, np.float64)
+
+    # small-amplitude wander in front of the room corner, looking +z.
+    # Frequencies are chosen for ~1.3 m/s^2 peak acceleration: monocular
+    # scale is observable only through acceleration excitation (the scale
+    # column of the init problem is ~|p_ddot| against the 9.81 gravity
+    # column). At ~0.5 m/s^2 the scale/acc-bias trade-off is nearly flat —
+    # a free-bias solve absorbs ~10% scale error into ~0.1 m/s^2 of bias —
+    # so amplitudes stay small (view keeps the room) while frequencies push
+    # |p_ddot| up without raising the peak velocity (a = v*w).
+    AX, AY, AZ = 0.11, 0.08, 0.05
+    WX, WY, WZ = 3.2, 2.7, 2.2
+
+    def pos(t):
+        return np.array([AX * np.sin(WX * t),
+                         AY * np.cos(WY * t) - AY,
+                         AZ * np.sin(WZ * t) + 0.02 * t])
+
+    def vel(t):
+        return np.array([AX * WX * np.cos(WX * t),
+                         -AY * WY * np.sin(WY * t),
+                         AZ * WZ * np.cos(WZ * t) + 0.02])
+
+    def accel(t):
+        return np.array([-AX * WX * WX * np.sin(WX * t),
+                         -AY * WY * WY * np.cos(WY * t),
+                         -AZ * WZ * WZ * np.sin(WZ * t)])
+
+    def omega(t):  # body angular velocity, keeps the view near +z
+        return np.array([0.09 * np.sin(1.2 * t),
+                         0.11 * np.cos(1.5 * t),
+                         0.07 * np.sin(0.8 * t)])
+
+    def so3_exp(phi):
+        th = np.linalg.norm(phi)
+        Kx = np.array([[0, -phi[2], phi[1]], [phi[2], 0, -phi[0]],
+                       [-phi[1], phi[0], 0]])
+        if th < 1e-12:
+            return np.eye(3) + Kx
+        return (np.eye(3) + np.sin(th) / th * Kx
+                + (1 - np.cos(th)) / (th * th) * (Kx @ Kx))
+
+    dt = 1.0 / imu_rate
+    frame_dt = 1.0 / fps
+    steps_per_frame = int(round(frame_dt / dt))
+    n_steps = steps_per_frame * (n_frames - 1)
+    # integrate body rotation at the IMU rate
+    R = np.eye(3)
+    Rs = [R.copy()]
+    for i in range(n_steps):
+        R = R @ so3_exp(omega(i * dt) * dt)
+        Rs.append(R.copy())
+    Rs = np.stack(Rs)
+
+    scene = RoomScene(seed=seed)
+    images, depths, poses, imu_lists = [], [], [], []
+    R_wb_gt, p_wb_gt, v_w_gt, ts = [], [], [], []
+    for k in range(n_frames):
+        t_k = k * frame_dt
+        i_k = k * steps_per_frame
+        R_wb = Rs[i_k]
+        p_wb = pos(t_k)
+        # camera pose from the body state
+        R_wc = R_wb @ R_bc
+        C = p_wb + R_wb @ t_bc
+        R_cw = R_wc.T.astype(np.float32)
+        t_cw = (-R_wc.T @ C).astype(np.float32)
+        img, dep = scene.render(K, R_cw, t_cw, hw)
+        images.append(img)
+        depths.append(dep if render_depth else None)
+        poses.append((R_cw, t_cw))
+        R_wb_gt.append(R_wb.astype(np.float32))
+        p_wb_gt.append(p_wb.astype(np.float32))
+        v_w_gt.append(vel(t_k).astype(np.float32))
+        ts.append(t_k)
+        # IMU samples in (t_{k-1}, t_k]
+        samples = []
+        if k > 0:
+            for i in range(i_k - steps_per_frame, i_k):
+                t_i = i * dt
+                a_b = (Rs[i].T @ (accel(t_i) - g_w) + ba
+                       + noise_acc * rng.standard_normal(3))
+                w_b = omega(t_i) + bg + noise_gyro * rng.standard_normal(3)
+                samples.append((a_b.astype(np.float32),
+                                w_b.astype(np.float32),
+                                float(t_i + dt)))
+        imu_lists.append(samples)
+    return dict(
+        images=images, depths=depths, timestamps=ts, poses=poses,
+        imu=imu_lists, R_wb=np.stack(R_wb_gt), p_wb=np.stack(p_wb_gt),
+        v_w=np.stack(v_w_gt), g_w=g_w.astype(np.float32),
+        bg=bg.astype(np.float32), ba=ba.astype(np.float32), K=K,
+    )
 
 
 def make_imu_trajectory(n_kf: int = 16, kf_dt: float = 0.25,
