@@ -39,7 +39,8 @@ def extract_fn(params, images, num_keypoints: int, compute_dtype=jnp.float32):
     if (H32, W32) != (H, W):
         x = image_ops.resize_bilinear(x, (H32, W32))
     feats, logits, heatmap = xfeat.forward(params, x, compute_dtype=compute_dtype)
-    out = detect_ops.select_keypoints(feats, logits, heatmap, num_keypoints)
+    out = detect_ops.select_keypoints(feats, logits, heatmap, num_keypoints,
+                                      subpixel=True)
     rw, rh = W / W32, H / H32
     out["kpts"] = out["kpts"] * jnp.array([rw, rh], jnp.float32)
     return out

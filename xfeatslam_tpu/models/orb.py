@@ -181,6 +181,93 @@ def describe(blurred, m10, m01, kpts, valid, n_kpts: int):
     return bits * valid[:, None], angle
 
 
+@functools.partial(jax.jit, static_argnames=("sizes", "caps", "mins"))
+def orb_candidates(img0, sizes, caps, mins, ini_thr, min_thr):
+    """ALL pyramid levels' FAST candidates in ONE XLA graph (one dispatch).
+
+    The per-level host loop this replaces cost ~4 dispatches + two
+    image-sized host transfers per level (~30 round trips per frame —
+    the dominant online-mode cost when the device sits behind a network
+    tunnel). Here every level is resized, FAST-scored at BOTH thresholds
+    (the adaptive ini/min retry of ORBextractor.cc:617-648 becomes a
+    jnp.where select — dense FAST is cheap on the VPU, the round trip is
+    not), NMS'd, border-masked, top-K'd and subpixel-refined on device;
+    only (cap, 2) candidate arrays ever reach the host.
+
+    Args:
+      img0: (H0,W0) float32 level-0 image.
+      sizes: static tuple of (h, w) per level.
+      caps: static tuple — candidate cap per level (top-K size).
+      mins: static tuple — fire count below which the min threshold is used.
+    Returns list of (xy (cap,2) subpixel level coords, score (cap,),
+    valid (cap,)) per level.
+    """
+    outs = []
+    for lvl, (h, w) in enumerate(sizes):
+        if lvl == 0:
+            x = img0
+        else:
+            x = jax.image.resize(img0, (h, w), "bilinear")
+        s_ini = fast_score_map(x, ini_thr)
+        m_ini = nms3_mask(s_ini)
+        s_min = fast_score_map(x, min_thr)
+        m_min = nms3_mask(s_min)
+        yy = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        inb = ((yy >= EDGE) & (yy < h - EDGE)
+               & (xx >= EDGE) & (xx < w - EDGE))
+        m_ini &= inb
+        m_min &= inb
+        use_min = jnp.sum(m_ini.astype(jnp.int32)) < mins[lvl]
+        score = jnp.where(use_min, s_min, s_ini)
+        mask = jnp.where(use_min, m_min, m_ini)
+        flat = jnp.where(mask, score, -1.0).reshape(-1)
+        top, idx = lax.top_k(flat, caps[lvl])
+        xs = idx % w
+        ys = idx // w
+        # 1D quadratic subpixel on the FAST response (same fit as before)
+        sf = score.reshape(-1)
+
+        def at(dy, dx):
+            return sf[jnp.clip(ys + dy, 0, h - 1) * w
+                      + jnp.clip(xs + dx, 0, w - 1)]
+
+        c = top
+        num_x = at(0, 1) - at(0, -1)
+        den_x = 2.0 * (2.0 * c - at(0, 1) - at(0, -1))
+        num_y = at(1, 0) - at(-1, 0)
+        den_y = 2.0 * (2.0 * c - at(1, 0) - at(-1, 0))
+        off_x = jnp.clip(jnp.where(jnp.abs(den_x) > 1e-6,
+                                   num_x / jnp.where(den_x == 0, 1.0, den_x),
+                                   0.0), -0.5, 0.5)
+        off_y = jnp.clip(jnp.where(jnp.abs(den_y) > 1e-6,
+                                   num_y / jnp.where(den_y == 0, 1.0, den_y),
+                                   0.0), -0.5, 0.5)
+        xy = jnp.stack([xs.astype(jnp.float32) + off_x,
+                        ys.astype(jnp.float32) + off_y], -1)
+        outs.append((xy, top, top > 0.0))
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("sizes",))
+def orb_describe_all(img0, sizes, kpts_list, valid_list):
+    """Oriented BRIEF for all levels in ONE graph (second dispatch): resize,
+    blur, orientation moments, and descriptor gathers per level, returning
+    per-level (desc, angle) tuples. Level images are recomputed on device —
+    cheaper than shipping them to the host and back."""
+    outs = []
+    for lvl, (h, w) in enumerate(sizes):
+        if lvl == 0:
+            x = img0
+        else:
+            x = jax.image.resize(img0, (h, w), "bilinear")
+        m10, m01 = orientation_maps(x)
+        desc, ang = describe(blur7(x), m10, m01, kpts_list[lvl],
+                             valid_list[lvl], kpts_list[lvl].shape[0])
+        outs.append((desc, ang))
+    return outs
+
+
 def distribute_quadtree(kpts: np.ndarray, scores: np.ndarray, n_target: int,
                         bounds: Tuple[float, float, float, float]) -> np.ndarray:
     """Quadtree balancing: split nodes until >= n_target, keep the best
@@ -256,78 +343,70 @@ class ORBExtractor:
             n_desired *= factor
         self.n_per_level.append(max(nfeatures - acc, 0))
 
+    def _level_sizes(self, H0: int, W0: int):
+        """Static (h, w) per usable level for one image size."""
+        sizes = []
+        for lvl in range(self.n_levels):
+            h = H0 if lvl == 0 else int(round(H0 / self.scales[lvl]))
+            w = W0 if lvl == 0 else int(round(W0 / self.scales[lvl]))
+            if h <= 2 * EDGE + 7 or w <= 2 * EDGE + 7:
+                break
+            sizes.append((h, w))
+        return tuple(sizes)
+
     def __call__(self, image: np.ndarray):
         """image: (H,W) uint8/float. Returns dict kpts/scores/desc/valid/
-        octave/size with kpts in level-0 coordinates (B=1 leading dim)."""
+        octave/size with kpts in level-0 coordinates (B=1 leading dim).
+
+        Two device dispatches per frame: orb_candidates (all levels fused),
+        host quadtree balancing (pure control flow on small arrays), then
+        orb_describe_all (all levels fused)."""
         img0 = np.asarray(image, np.float32)
         if img0.ndim == 3:
             img0 = img0.mean(-1)
         H0, W0 = img0.shape
         K = self.nfeatures
+        sizes = self._level_sizes(H0, W0)
+        caps = tuple(min(self.n_per_level[lvl] * 8, h * w)
+                     for lvl, (h, w) in enumerate(sizes))
+        mins = tuple(2 * self.n_per_level[lvl] for lvl in range(len(sizes)))
 
-        all_kpts, all_scores, all_desc, all_oct, all_ang = [], [], [], [], []
-        level_img = img0
-        for lvl in range(self.n_levels):
-            if lvl > 0:
-                h = int(round(H0 / self.scales[lvl]))
-                w = int(round(W0 / self.scales[lvl]))
-                level_img = np.asarray(
-                    jax.image.resize(jnp.asarray(img0), (h, w), "bilinear")
-                )
-            h, w = level_img.shape
-            if h <= 2 * EDGE + 7 or w <= 2 * EDGE + 7:
-                break
-            x = jnp.asarray(level_img)
-            score = fast_score_map(x, jnp.float32(self.ini_threshold))
-            mask = np.asarray(nms3_mask(score))
-            score_np = np.asarray(score)
-            # adaptive fallback: min threshold where nothing fired
-            # (cheap global version of the per-cell retry, :617-648)
-            if mask.sum() < 2 * self.n_per_level[lvl]:
-                score2 = fast_score_map(x, jnp.float32(self.min_threshold))
-                mask2 = np.asarray(nms3_mask(score2))
-                score_np = np.asarray(score2)
-                mask = mask2
-            # border margin
-            mask = np.array(mask)
-            mask[:EDGE] = False
-            mask[-EDGE:] = False
-            mask[:, :EDGE] = False
-            mask[:, -EDGE:] = False
-            ys, xs = np.nonzero(mask)
-            if len(xs) == 0:
-                continue
-            # subpixel refinement: 1D quadratic fit on the FAST response in
-            # each axis (integer corners carry ~1px view-dependent bias that
-            # breaks the chi2=5.991 gates downstream)
-            sm = score_np
-            num_x = sm[ys, xs + 1] - sm[ys, xs - 1]
-            den_x = 2.0 * (2.0 * sm[ys, xs] - sm[ys, xs + 1] - sm[ys, xs - 1])
-            num_y = sm[ys + 1, xs] - sm[ys - 1, xs]
-            den_y = 2.0 * (2.0 * sm[ys, xs] - sm[ys + 1, xs] - sm[ys - 1, xs])
-            off_x = np.clip(np.where(np.abs(den_x) > 1e-6, num_x / np.where(den_x == 0, 1, den_x), 0.0), -0.5, 0.5)
-            off_y = np.clip(np.where(np.abs(den_y) > 1e-6, num_y / np.where(den_y == 0, 1, den_y), 0.0), -0.5, 0.5)
-            kpts = np.stack([xs + off_x, ys + off_y], -1).astype(np.float32)
-            scores = score_np[ys, xs]
-            sel = distribute_quadtree(
-                kpts, scores, self.n_per_level[lvl],
-                (EDGE, EDGE, w - EDGE, h - EDGE),
-            )
-            kpts, scores = kpts[sel], scores[sel]
+        x0 = jnp.asarray(img0)
+        cands = orb_candidates(x0, sizes, caps, mins,
+                               jnp.float32(self.ini_threshold),
+                               jnp.float32(self.min_threshold))
+        cands = [(np.asarray(xy), np.asarray(sc), np.asarray(va))
+                 for (xy, sc, va) in cands]
 
+        kp_pad, va_pad, keep = [], [], []
+        for lvl, (h, w) in enumerate(sizes):
+            xy, sc, va = cands[lvl]
+            xy, sc = xy[va], sc[va]
             n_pad = self.n_per_level[lvl] * 2
             kp = np.zeros((n_pad, 2), np.float32)
-            va = np.zeros(n_pad, bool)
-            n = min(len(kpts), n_pad)
-            kp[:n] = kpts[:n]
-            va[:n] = True
-            m10, m01 = orientation_maps(x)
-            desc, ang = describe(blur7(x), m10, m01, jnp.asarray(kp),
-                                 jnp.asarray(va), n_pad)
-            desc = np.asarray(desc)[:n]
-            all_kpts.append(kpts[:n] * self.scales[lvl])
-            all_scores.append(scores[:n])
-            all_desc.append(desc)
+            vm = np.zeros(n_pad, bool)
+            if len(xy):
+                sel = distribute_quadtree(
+                    xy, sc, self.n_per_level[lvl],
+                    (EDGE, EDGE, w - EDGE, h - EDGE),
+                )
+                xy, sc = xy[sel], sc[sel]
+                n = min(len(xy), n_pad)
+                kp[:n] = xy[:n]
+                vm[:n] = True
+                keep.append((lvl, xy[:n], sc[:n]))
+            kp_pad.append(jnp.asarray(kp))
+            va_pad.append(jnp.asarray(vm))
+
+        desc_all = orb_describe_all(x0, sizes, tuple(kp_pad), tuple(va_pad))
+
+        all_kpts, all_scores, all_desc, all_oct, all_ang = [], [], [], [], []
+        for (lvl, xy, sc) in keep:
+            n = len(xy)
+            desc, ang = desc_all[lvl]
+            all_kpts.append(xy * self.scales[lvl])
+            all_scores.append(sc)
+            all_desc.append(np.asarray(desc)[:n])
             all_ang.append(np.asarray(ang)[:n])
             all_oct.append(np.full(n, lvl, np.int32))
 

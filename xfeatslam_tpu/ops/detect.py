@@ -51,9 +51,10 @@ def nms_mask(heatmap, threshold: float = 0.05, kernel_size: int = 5):
     return (heatmap == local_max) & (heatmap > threshold)
 
 
-@functools.partial(jax.jit, static_argnames=("num_keypoints",))
+@functools.partial(jax.jit, static_argnames=("num_keypoints", "subpixel"))
 def select_keypoints(feats, logits, heatmap, num_keypoints: int,
-                     threshold: float = 0.05, softmax_temp: float = 1.0):
+                     threshold: float = 0.05, softmax_temp: float = 1.0,
+                     subpixel: bool = False):
     """Fixed-shape keypoint selection + descriptor sampling.
 
     Args:
@@ -98,11 +99,34 @@ def select_keypoints(feats, logits, heatmap, num_keypoints: int,
     neg_inf = jnp.float32(-1.0)
     ranked = jnp.where(mask, score_map, neg_inf).reshape(B, H * W)
     scores, idx = lax.top_k(ranked, num_keypoints)
-    xs = (idx % W).astype(jnp.float32)
-    ys = (idx // W).astype(jnp.float32)
-    kpts = jnp.stack([xs, ys], axis=-1)  # (B,K,2)
+    xs_i = idx % W
+    ys_i = idx // W
+    kpts = jnp.stack([xs_i.astype(jnp.float32),
+                      ys_i.astype(jnp.float32)], axis=-1)  # (B,K,2)
 
     valid = scores > 0.0
+
+    if subpixel:
+        # 3x3 soft-argmax on the keypoint heatmap around each NMS peak:
+        # centroid of the local probability mass gives a sub-pixel offset
+        # (the reference keeps integer XFeat coords, XFextractor.cc:297 — a
+        # documented improvement: localization below the pixel grid feeds
+        # directly into triangulation/BA accuracy)
+        k1f = k1h[..., 0].reshape(B, H * W)
+        wsum = jnp.zeros_like(scores)
+        dxsum = jnp.zeros_like(scores)
+        dysum = jnp.zeros_like(scores)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                xs2 = jnp.clip(xs_i + dx, 0, W - 1)
+                ys2 = jnp.clip(ys_i + dy, 0, H - 1)
+                w = jnp.take_along_axis(k1f, ys2 * W + xs2, axis=1)
+                wsum = wsum + w
+                dxsum = dxsum + w * dx
+                dysum = dysum + w * dy
+        off = jnp.stack([dxsum, dysum], -1) / jnp.maximum(
+            wsum, 1e-9)[..., None]
+        kpts = kpts + jnp.clip(off, -1.0, 1.0)
 
     desc = image_ops.sample_bilinear(featsn, kpts, (H, W))
     desc = desc * lax.rsqrt(jnp.sum(desc * desc, axis=-1, keepdims=True) + 1e-12)
