@@ -31,6 +31,10 @@ def main():
                     help="run N synthetic frames instead of a dataset")
     ap.add_argument("--out", default=".")
     ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--viewer", default=None, metavar="DIR",
+                    help="live viewer: atomically-updated live_frame.png/"
+                    "live_map.png in DIR + session.gif at shutdown "
+                    "(the reference's bUseViewer)")
     ap.add_argument("--backend", default=None, choices=["xfeat", "orb"],
                     help="feature backend (default: USE_ORB env var parity)")
     args = ap.parse_args()
@@ -64,7 +68,8 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     system = System(settings, Sensor.RGBD, backend=args.backend,
-                    enable_loop_closing=not args.no_loop)
+                    enable_loop_closing=not args.no_loop,
+                    viewer_dir=args.viewer)
 
     times = []
     n = len(frames) if frames is not None else len(data)

@@ -63,6 +63,16 @@ class TestRgbdSlam:
         assert ok_frames >= len(states) - 2, [s.name for s in states]
         assert errs.max() < 0.05, errs
 
+    def test_xfeat_backend_long_sequence(self):
+        """40-frame XFeat regression: round 1 ended RECENTLY_LOST at ~50 cm
+        by frame 36 (generated-BRIEF-era ratchet affected XFeat too via the
+        shared pose chain). With the orthonormality fix, octave gating and
+        sub-pixel keypoints the same sequence stays OK end to end at
+        cm-level (measured max ~5.1 cm)."""
+        errs, states, system = run_sequence("xfeat", n_frames=40)
+        assert all(s.name == "OK" for s in states), [s.name for s in states]
+        assert errs.max() < 0.08, errs
+
     def test_trajectory_io_roundtrip(self, tmp_path):
         from xfeatslam_tpu.utils import io as io_utils
 

@@ -97,3 +97,24 @@ class TestLocalizationMode:
                               100.0 + i / 30.0)
         assert system.map.num_points() == mps_before
         system.deactivate_localization_mode()
+
+
+class TestLiveViewer:
+    def test_live_files_and_gif(self, tracked_system, tmp_path):
+        """LiveViewer (utils/viewer.py, the reference Viewer-thread role):
+        driving updates must atomically produce live_frame.png/live_map.png
+        and close() must assemble session.gif from >=2 history frames."""
+        from xfeatslam_tpu.utils.viewer import LiveViewer
+
+        system, seq = tracked_system
+        viz = str(tmp_path / "viz")
+        v = LiveViewer(viz, every=1, max_history=10)
+        for _ in range(3):
+            v.update(seq["images"][0], system.tracking.last_frame,
+                     system.map, trajectory=system.tracking.trajectory,
+                     state_text="OK")
+        assert os.path.exists(os.path.join(viz, "live_frame.png"))
+        assert os.path.exists(os.path.join(viz, "live_map.png"))
+        assert len(v._hist) == 3
+        gif = v.close()
+        assert gif is not None and os.path.getsize(gif) > 1000

@@ -45,11 +45,17 @@ class System:
                  extractor=None,
                  backend: Optional[str] = None,
                  enable_mapping: bool = True,
-                 enable_loop_closing: bool = True):
+                 enable_loop_closing: bool = True,
+                 viewer_dir: Optional[str] = None):
         """backend: "xfeat" (default) or "orb" — the USE_ORB switch of the
         reference (/root/reference/src/Tracking.cc:595-608, selected by env
         var there; an explicit argument here, with the env var honored when
-        backend is None for CLI parity)."""
+        backend is None for CLI parity).
+
+        viewer_dir: when set, a LiveViewer (utils/viewer.py) follows the
+        session — live_frame.png / live_map.png atomically updated in that
+        directory, session.gif assembled at shutdown (the reference's
+        bUseViewer ctor flag, System.cc:90)."""
         if backend is None:
             backend = "orb" if os.environ.get("USE_ORB") else "xfeat"
         self.backend = backend
@@ -58,6 +64,11 @@ class System:
         self.timer = StageTimer()
         self._mapping_paused = False
         self.settings = settings
+        self.viewer = None
+        if viewer_dir is not None:
+            from ..utils.viewer import LiveViewer
+
+            self.viewer = LiveViewer(viewer_dir)
         self.sensor = sensor
         if extractor is None:
             if backend == "orb":
@@ -149,6 +160,7 @@ class System:
                                                   imu=imu)
         with self.timer.span("backend"):
             self._run_backend()
+        self._update_viewer(gray, state)
         return state, pose
 
     def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray,
@@ -159,6 +171,7 @@ class System:
                                                     imu=imu)
         with self.timer.span("backend"):
             self._run_backend()
+        self._update_viewer(gray_l, state)
         return state, pose
 
     def track_monocular(self, gray: np.ndarray, timestamp: float, imu=None):
@@ -167,7 +180,18 @@ class System:
             state, pose = self.tracking.grab_mono(gray, timestamp, imu=imu)
         with self.timer.span("backend"):
             self._run_backend()
+        self._update_viewer(gray, state)
         return state, pose
+
+    def _update_viewer(self, gray, state):
+        if self.viewer is None or self.tracking.last_frame is None:
+            return
+        with self.timer.span("viewer"):
+            self.viewer.update(gray, self.tracking.last_frame, self.map,
+                               trajectory=self.tracking.trajectory,
+                               state_text=f"{state.name} | "
+                               f"{self.map.num_keyframes()} KFs | "
+                               f"{self.map.num_points()} points")
 
     def _sync_active_map(self):
         """Tracking may have switched/created a map (Atlas): re-point the
@@ -325,6 +349,8 @@ class System:
         self.timer.dump(path)
 
     def shutdown(self):
+        if self.viewer is not None:
+            self.viewer.close()
         return {
             "keyframes": self.map.num_keyframes(),
             "map_points": self.map.num_points(),

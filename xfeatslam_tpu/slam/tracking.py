@@ -91,6 +91,9 @@ class TrackerConfig:
     # (IMU.InsertKFsWhenLost, Settings.h:93 / Tracking.cc NeedNewKeyFrame
     # inertial branch)
     insert_kfs_when_lost: bool = True
+    # relocalization acceptance (reference: >=50 inliers after the guided
+    # widening ladder, Tracking.cc:3823)
+    reloc_min_inliers: int = 50
 
     def __post_init__(self):
         if self.refkf_max_dist is None:
@@ -1193,11 +1196,75 @@ class Tracking:
                     self.atlas.change_map(m.map_id)
                     self.map = m
                 inl = self._pose_optimize(frame)
-                if inl >= 20:
+                # guided widening ladder (Tracking.cc:3747-3820): when the
+                # first optimization is short of 50 inliers, re-search the
+                # candidate's neighborhood by projection with a wide window
+                # and re-optimize; a second narrow round runs when close
+                if inl < 50:
+                    added = self._reloc_widen(frame, m, kid, radius=10.0,
+                                              dist_scale=2.0)
+                    if added:
+                        inl = self._pose_optimize(frame)
+                    if 30 <= inl < 50:
+                        if self._reloc_widen(frame, m, kid, radius=3.0,
+                                             dist_scale=1.28):
+                            inl = self._pose_optimize(frame)
+                if inl >= self.cfg.reloc_min_inliers:
                     self.ref_kf = kid
                     self.lost_since = None
                     return True
         return False
+
+    def _reloc_widen(self, frame: Frame, m, kid: int, radius: float,
+                     dist_scale: float) -> bool:
+        """One guided re-search round of the relocalization ladder
+        (ORBmatcher::SearchByProjection Frame-vs-KF form, used at
+        Tracking.cc:3758,3791): project the candidate keyframe
+        neighborhood's map points into the current pose estimate and bind
+        matches into FREE keypoint slots. Returns True if anything bound."""
+        import jax.numpy as jnp
+
+        kf = m.keyframes.get(kid)
+        if kf is None:
+            return False
+        mp_ids = [int(x) for x in kf.mp_ids[kf.mp_ids >= 0]]
+        for ck in m.covisible_kfs(kid, 10):
+            ckf = m.keyframes.get(ck)
+            if ckf is not None:
+                mp_ids.extend(int(x) for x in ckf.mp_ids[ckf.mp_ids >= 0])
+        mp_ids = [mp for mp in dict.fromkeys(mp_ids)
+                  if m.points.alive[mp]][:2048]
+        if not mp_ids:
+            return False
+        pos = m.points.pos[mp_ids]
+        Xc = pos @ frame.R.T + frame.t
+        z = Xc[:, 2]
+        vis = z > 0.05
+        zs = np.where(vis, z, 1.0)
+        u = float(self.cam.fx) * Xc[:, 0] / zs + float(self.cam.cx)
+        v = float(self.cam.fy) * Xc[:, 1] / zs + float(self.cam.cy)
+        uv = np.stack([u, v], -1).astype(np.float32)
+        already = set(int(x) for x in frame.mp_ids[frame.mp_ids >= 0])
+        cand_ok = vis & np.array([mp not in already for mp in mp_ids])
+        res = matching.search_by_projection(
+            jnp.asarray(uv), jnp.asarray(m.points.desc[mp_ids]),
+            jnp.asarray(cand_ok),
+            jnp.asarray(frame.kpts_un), jnp.asarray(frame.desc),
+            jnp.asarray(frame.valid),
+            radius=jnp.float32(radius),
+            max_dist=jnp.float32(self.cfg.th_low * dist_scale),
+            ratio=0.9, kpt_free=jnp.asarray(frame.mp_ids < 0),
+            binary=self.cfg.binary,
+        )
+        idx = np.asarray(res.idx)
+        mask = np.asarray(res.mask)
+        bound = False
+        for i in np.nonzero(mask)[0]:
+            slot = int(idx[i])
+            if frame.mp_ids[slot] < 0:
+                frame.mp_ids[slot] = mp_ids[i]
+                bound = True
+        return bound
 
     def _check_timestamp_jump(self, frame: Frame) -> bool:
         """Timestamp-anomaly handling (Tracking.cc:1845-1882): an

@@ -81,3 +81,70 @@ def render_frame(gray: np.ndarray, frame, path: str,
     fig.tight_layout()
     fig.savefig(path, dpi=100)
     plt.close(fig)
+
+
+class LiveViewer:
+    """'Live' viewer for a running session (role of the reference's Viewer
+    thread + FrameDrawer/MapDrawer, /root/reference/src/Viewer.cc:25-255:
+    a 30 fps Pangolin window over the current frame and map). Headless
+    re-design: every `every`-th frame the current frame overlay and map
+    view are rendered and atomically swapped into <out_dir>/live_frame.png
+    and <out_dir>/live_map.png — a file watcher, notebook, or browser
+    pointed at the files follows the session live. Rendered frames are
+    kept (bounded) and assembled into an animated GIF on close().
+    """
+
+    def __init__(self, out_dir: str, every: int = 5, max_history: int = 120,
+                 gif_scale: int = 2):
+        import os
+
+        self.out = out_dir
+        self.every = max(1, int(every))
+        self.max_history = max_history
+        self.gif_scale = gif_scale
+        self._n = 0
+        self._hist = []
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _swap_in(self, tmp: str, final: str):
+        import os
+
+        os.replace(tmp, final)  # atomic on POSIX: watchers never see a torn file
+
+    def update(self, gray, frame, slam_map, trajectory=None,
+               state_text: str = ""):
+        import os
+
+        self._n += 1
+        if (self._n - 1) % self.every:
+            return
+        fp = os.path.join(self.out, "live_frame.png")
+        mp = os.path.join(self.out, "live_map.png")
+        render_frame(gray, frame, fp + ".tmp.png", state_text=state_text)
+        self._swap_in(fp + ".tmp.png", fp)
+        render_map(slam_map, mp + ".tmp.png", trajectory=trajectory,
+                   title=f"map @ frame {self._n - 1}")
+        self._swap_in(mp + ".tmp.png", mp)
+        if len(self._hist) < self.max_history:
+            try:
+                from PIL import Image
+
+                im = Image.open(fp).convert("RGB")
+                im = im.reduce(self.gif_scale).convert(
+                    "P", palette=Image.ADAPTIVE)
+                self._hist.append(im)
+            except Exception:
+                pass
+
+    def close(self):
+        """Assemble <out_dir>/session.gif from the rendered history."""
+        import os
+
+        if len(self._hist) < 2:
+            return None
+        path = os.path.join(self.out, "session.gif")
+        self._hist[0].save(
+            path, save_all=True, append_images=self._hist[1:],
+            duration=200, loop=0,
+        )
+        return path
