@@ -28,7 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 H, W, K = 480, 640, 1000
-BATCH = 32  # amortizes per-dispatch overhead (tunnel RTT); see B-sweep in round-1 log
+# Operating point from the round-2 B-sweep on one v5e chip:
+# 32->662, 64->880, 128->1238, 256->1343, 512->1467 fps — the knee is
+# ~256 (dispatch overhead amortized; past it HBM effects flatten gains).
+BATCH = 256
 WARMUP = 2
 ITERS = 8
 

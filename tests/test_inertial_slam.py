@@ -163,3 +163,50 @@ class TestImuMonocular:
         Rg, _tg = seq["poses"][idx]
         g_m = (kf.R.T @ Rg) @ seq["g_w"]
         assert np.linalg.norm(g_m - np.array([0, 0, -9.81])) < 0.5, g_m
+
+
+class TestImuStereo:
+    @pytest.fixture(scope="class")
+    def run(self):
+        """Stereo-inertial (IMU_STEREO): render rectified right views along
+        the VI trajectory (baseline 0.08 m along camera +x) and track with
+        IMU (Tracking.cc GrabImageStereo + inertial path)."""
+        n_frames = 50
+        seq = synthetic.make_vi_sequence(
+            n_frames=n_frames, fps=10.0, imu_rate=200.0, seed=0,
+            bg=BG_INJ, ba=BA_INJ, noise_gyro=2e-4, noise_acc=2e-3,
+        )
+        K = seq["K"]
+        baseline = 0.08
+        scene = synthetic.RoomScene(seed=0)
+        settings = make_imu_settings(K)
+        settings.bf = baseline * float(K[0, 0])
+        system = System(settings, Sensor.IMU_STEREO, backend="orb",
+                        enable_loop_closing=False)
+        for i in range(n_frames):
+            R, t = seq["poses"][i]
+            t_r = (t - np.array([baseline, 0, 0], np.float32)).astype(
+                np.float32)
+            img_r, _ = scene.render(K, R, t_r, (480, 640))
+            system.track_stereo(seq["images"][i], img_r,
+                                seq["timestamps"][i], imu=seq["imu"][i])
+        return seq, system
+
+    def test_initializes_and_metric(self, run):
+        seq, system = run
+        assert system.map.imu_initialized
+        est, gt, _ = kf_centers_vs_gt(system, seq)
+        assert len(est) >= 6
+        s, R, t = umeyama(est, gt, with_scale=True)
+        assert abs(s - 1.0) < 0.03, s  # stereo is metric; IMU must not skew
+        ate = np.linalg.norm((est @ R.T) * s + t - gt, axis=1)
+        assert ate.max() < 0.06, ate
+
+    def test_gravity_aligned(self, run):
+        seq, system = run
+        kfs = sorted(system.map.keyframes.values(), key=lambda k: k.timestamp)
+        kf = kfs[-1]
+        idx = int(round(kf.timestamp * 10.0))
+        Rg, _tg = seq["poses"][idx]
+        g_m = (kf.R.T @ Rg) @ seq["g_w"]
+        assert np.linalg.norm(g_m - np.array([0, 0, -9.81])) < 0.4, g_m

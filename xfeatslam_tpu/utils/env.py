@@ -70,6 +70,14 @@ def ensure_cpu(n_devices: int = 8, argv: list | None = None) -> None:
     Call before importing jax (e.g. at the top of tests/conftest.py).
     """
     if _interpreter_is_tainted():
+        if argv is None and sys.argv and sys.argv[0] in ("-", "-c", ""):
+            # stdin/-c scripts cannot be re-exec'd (the source is gone: the
+            # child would read empty stdin and silently exit 0). Write the
+            # script to a file, or pass argv explicitly.
+            raise RuntimeError(
+                "ensure_cpu: cannot re-exec a stdin/-c script under the "
+                "axon interpreter hook; run from a file instead"
+            )
         env = cpu_env(n_devices)
         args = [sys.executable] + (argv if argv is not None else sys.argv)
         os.execve(sys.executable, args, env)
