@@ -210,3 +210,38 @@ class TestImuStereo:
         Rg, _tg = seq["poses"][idx]
         g_m = (kf.R.T @ Rg) @ seq["g_w"]
         assert np.linalg.norm(g_m - np.array([0, 0, -9.81])) < 0.4, g_m
+
+
+class TestInertialSerialization:
+    def test_atlas_roundtrip_preserves_imu_state(self, tmp_path):
+        """Atlas save/load must carry the inertial state: per-KF velocity,
+        biases, prev_kf chain and preintegration, plus the map's init
+        flags/bias estimate (SerializationUtils + KeyFrame serialization
+        role for the IMU members, reference include/KeyFrame.h:52-66)."""
+        seq, system = run_vi(Sensor.IMU_RGBD, n_frames=30)
+        assert system.map.imu_initialized
+        path = str(tmp_path / "atlas_imu.zip")
+        system.save_atlas(path)
+
+        from xfeatslam_tpu.slam import serialization
+
+        atlas = serialization.load_atlas(path)
+        m2 = atlas.active
+        m1 = system.map
+        assert m2.imu_initialized == m1.imu_initialized
+        assert m2.imu_ba1 == m1.imu_ba1 and m2.imu_ba2 == m1.imu_ba2
+        np.testing.assert_allclose(m2.imu_bg, m1.imu_bg, atol=1e-7)
+        np.testing.assert_allclose(m2.imu_ba, m1.imu_ba, atol=1e-7)
+        for kid, kf in m1.keyframes.items():
+            kf2 = m2.keyframes[kid]
+            assert kf2.prev_kf == kf.prev_kf
+            if kf.vel is not None:
+                np.testing.assert_allclose(kf2.vel, kf.vel, atol=1e-6)
+            if kf.pre_kf is not None:
+                assert kf2.pre_kf is not None
+                np.testing.assert_allclose(
+                    np.asarray(kf2.pre_kf.dP), np.asarray(kf.pre_kf.dP),
+                    atol=1e-6)
+                np.testing.assert_allclose(
+                    np.asarray(kf2.pre_kf.cov), np.asarray(kf.pre_kf.cov),
+                    rtol=1e-5, atol=1e-8)
