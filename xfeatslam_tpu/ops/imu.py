@@ -170,7 +170,7 @@ def preintegrate_segment(acc, gyro, dts, bg, ba,
         bucket *= 2
     pad = bucket - n
 
-    def padded(a, width):
+    def padded(a):
         a = np.asarray(a, np.float32)
         return np.concatenate([a, np.zeros((pad,) + a.shape[1:], np.float32)])
 
@@ -179,7 +179,7 @@ def preintegrate_segment(acc, gyro, dts, bg, ba,
     if calib is not None:
         kw = dict(noise_gyro=calib.noise_gyro, noise_acc=calib.noise_acc,
                   walk_gyro=calib.walk_gyro, walk_acc=calib.walk_acc)
-    pre = preintegrate(padded(acc, 3), padded(gyro, 3), padded(dts, 0), valid,
+    pre = preintegrate(padded(acc), padded(gyro), padded(dts), valid,
                        jnp.asarray(np.asarray(bg, np.float32)),
                        jnp.asarray(np.asarray(ba, np.float32)), **kw)
     return Preintegrated(*[np.asarray(f) for f in pre])

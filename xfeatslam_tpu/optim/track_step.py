@@ -65,7 +65,8 @@ def _rotation_consistency(mp_angle, kpt_angle, idx, mask,
 
 
 @functools.partial(jax.jit, static_argnames=("binary", "scale_gate",
-                                             "band_gate", "n_levels"))
+                                             "band_gate", "n_levels",
+                                             "widen"))
 def match_pose_step(
     R0, t0,
     # map-point side (M rows, padded)
@@ -79,7 +80,7 @@ def match_pose_step(
     radius, max_dist, ratio, widen_below, scale_factor,
     img_w, img_h,
     binary: bool = False, scale_gate: bool = False, band_gate: bool = False,
-    n_levels: int = 1,
+    n_levels: int = 1, widen: bool = True,
 ):
     """One fused tracking step. Returns TrackStepResult.
 
@@ -135,10 +136,16 @@ def match_pose_step(
 
     idx1, m1 = one_pass(jnp.float32(1.0))
     n1 = jnp.sum(m1.astype(jnp.int32))
-    idx2, m2 = one_pass(jnp.float32(2.0))
-    use2 = n1 < widen_below
-    idx = jnp.where(use2, idx2, idx1)
-    mask = jnp.where(use2, m2, m1)
+    if widen:
+        idx2, m2 = one_pass(jnp.float32(2.0))
+        use2 = n1 < widen_below
+        idx = jnp.where(use2, idx2, idx1)
+        mask = jnp.where(use2, m2, m1)
+    else:
+        # static no-widen configuration (the local-map step): skip the
+        # second distance matrix entirely — widen_below is 0 there and a
+        # traced select cannot be dead-code-eliminated by XLA
+        idx, mask = idx1, m1
     n_matched = jnp.sum(mask.astype(jnp.int32))
 
     # ---- scatter matches to keypoint slots ---------------------------------

@@ -295,30 +295,42 @@ class LocalMapping:
                                      prior_a=1e6 if self.mono else 1e5)
         else:
             # the VIBA stages are independent gates, not a strict ladder —
-            # a late-arriving KF past both thresholds runs both refinements
+            # a late-arriving KF past both thresholds runs both refinements.
+            # Flags latch only on SUCCESS (the reference sets mbIMU_BA1/2
+            # inside a completed InitializeIMU and retries otherwise)
             if not m.imu_ba1 and span >= self.viba1_time:
                 # VIBA1: relax priors once the trajectory excited the IMU
-                self._initialize_imu(chain, prior_g=1.0, prior_a=1e5)
-                m.imu_ba1 = True
+                if self._initialize_imu(chain, prior_g=1.0, prior_a=1e5):
+                    m.imu_ba1 = True
             if not m.imu_ba2 and m.imu_ba1 and span >= self.viba2_time:
                 # VIBA2: free refinement
-                self._initialize_imu(chain, prior_g=0.0, prior_a=0.0)
-                m.imu_ba2 = True
+                if self._initialize_imu(chain, prior_g=0.0, prior_a=0.0):
+                    m.imu_ba2 = True
             if self.mono and span < 50.0:
                 # ScaleRefinement (LocalMapping.cc:1429 + Optimizer.cc:3389
                 # InertialOptimization scale/gravity-only): with biases
                 # PINNED to the current estimate, scale decouples from the
                 # acc-bias direction — the residual mono scale drift that a
-                # free joint solve trades into the bias becomes observable
+                # free joint solve trades into the bias becomes observable.
+                # Biases are NOT rewritten (update_bias=False): the solve is
+                # pinned, and overwriting per-KF refined biases with the
+                # stale shared estimate would undo the inertial BA's walk
+                # tracking (reference solves only scale+gravity here)
                 self._initialize_imu(chain, prior_g=1e8, prior_a=1e8,
-                                     fiba=False, min_apply=0.005)
+                                     fiba=False, min_apply=0.005,
+                                     update_bias=False)
 
     def _initialize_imu(self, chain, prior_g: float, prior_a: float,
-                        fiba: bool = True, min_apply: float = 0.0):
+                        fiba: bool = True, min_apply: float = 0.0,
+                        update_bias: bool = True) -> bool:
         """InertialOptimization + ApplyScaledRotation
         (/root/reference/src/Optimizer.cc:3042, LocalMapping.cc:1173):
         estimate scale/gravity/shared-bias/velocities on fixed visual poses,
-        then rotate+rescale the map so gravity is (0,0,-9.81) metric."""
+        then rotate+rescale the map so gravity is (0,0,-9.81) metric.
+
+        Returns True when an estimate was computed and applied (callers
+        latch schedule flags only then). update_bias=False runs the
+        scale/gravity-only refinement without touching bias state."""
         import jax.numpy as jnp
 
         from ..optim import inertial as in_opt
@@ -364,7 +376,7 @@ class LocalMapping:
             cov9[i] = np.asarray(pre_c.cov)[:9, :9]
             e_valid[i] = True
         if e_valid.sum() < 2:
-            return
+            return False
         res = in_opt.inertial_init(
             jnp.asarray(R_wb), jnp.asarray(p_wb), jnp.asarray(dts),
             jnp.asarray(dR), jnp.asarray(dV), jnp.asarray(dP),
@@ -386,10 +398,11 @@ class LocalMapping:
         if not np.isfinite(s) or s < 1e-2 or s > 1e2:
             verbose.print_mess("IMU init rejected: scale out of range",
                                verbose.Level.NORMAL)
-            return
+            return False
         if min_apply > 0 and abs(s - 1.0) < min_apply and tilt < 0.2:
-            return  # refinement below the apply threshold (reference gates
-            # ApplyScaledRotation on |ds|>1e-5, LocalMapping.cc:1450)
+            return True  # converged: refinement below the apply threshold
+            # (reference gates ApplyScaledRotation on |ds|>1e-5,
+            # LocalMapping.cc:1450)
         bg = bg0 + np.asarray(res.bg, np.float32)
         ba = ba0 + np.asarray(res.ba, np.float32)
         vel = np.asarray(res.vel, np.float32)
@@ -399,10 +412,12 @@ class LocalMapping:
         for i, k in enumerate(chain):
             kf = m.keyframes[k]
             kf.vel = (R_wg.T @ vel[i]).astype(np.float32)
-            kf.bg = bg.copy()
-            kf.ba = ba.copy()
-        m.imu_bg = bg
-        m.imu_ba = ba
+            if update_bias:
+                kf.bg = bg.copy()
+                kf.ba = ba.copy()
+        if update_bias:
+            m.imu_bg = bg
+            m.imu_ba = ba
         m.imu_initialized = True
         # compose with any not-yet-consumed transform
         if self.pending_map_transform is None:
@@ -418,6 +433,7 @@ class LocalMapping:
         if fiba:
             self._local_inertial_ba(chain[-1], window=IBA_MAX_KFS_TOTAL,
                                     fix_anchor=False)
+        return True
 
     # -- LocalInertialBA (/root/reference/src/Optimizer.cc:2383) ------------
 

@@ -400,7 +400,7 @@ class Tracking:
                 ok &= np.sum(view * normal, axis=-1) > 0.5
         return np.stack([u, v], -1).astype(np.float32), ok
 
-    def _pose_optimize(self, frame: Frame) -> int:
+    def _pose_optimize(self, frame: Frame, visual_only: bool = False) -> int:
         bound = frame.mp_ids >= 0
         ids = np.where(bound, frame.mp_ids, 0)
         Xw = self.map.points.pos[ids]
@@ -414,7 +414,7 @@ class Tracking:
             self.cfg.scale_factor ** (2.0 * frame.octave.astype(np.float32))
         )
         inv_s2 = jnp.asarray((1.0 / sigma2).astype(np.float32))
-        anchor = self._imu_anchor()
+        anchor = None if visual_only else self._imu_anchor()
         if anchor is not None:
             return self._pose_optimize_inertial(
                 frame, anchor, jnp.asarray(Xw), inv_s2,
@@ -587,6 +587,7 @@ class Tracking:
             jnp.float32(2.0 * float(self.cam.cy)),
             binary=self.cfg.binary, scale_gate=scale_gate,
             band_gate=dmin is not None, n_levels=self.cfg.n_levels,
+            widen=widen_below > 0,
         )
         res = jax.device_get(res)  # one batched transfer for all outputs
         slot_mp = res.slot_mp
@@ -1195,7 +1196,11 @@ class Tracking:
                 if self.atlas is not None and m is not self.map:
                     self.atlas.change_map(m.map_id)
                     self.map = m
-                inl = self._pose_optimize(frame)
+                # pure-visual optimization: the reference's Relocalization
+                # runs PoseOptimization without inertial edges — the IMU
+                # anchor is dead-reckoned from the LOST drift and would drag
+                # the candidate pose back toward it (Tracking.cc:3721)
+                inl = self._pose_optimize(frame, visual_only=True)
                 # guided widening ladder (Tracking.cc:3747-3820): when the
                 # first optimization is short of 50 inliers, re-search the
                 # candidate's neighborhood by projection with a wide window
@@ -1204,11 +1209,12 @@ class Tracking:
                     added = self._reloc_widen(frame, m, kid, radius=10.0,
                                               dist_scale=2.0)
                     if added:
-                        inl = self._pose_optimize(frame)
+                        inl = self._pose_optimize(frame, visual_only=True)
                     if 30 <= inl < 50:
                         if self._reloc_widen(frame, m, kid, radius=3.0,
                                              dist_scale=1.28):
-                            inl = self._pose_optimize(frame)
+                            inl = self._pose_optimize(frame,
+                                                      visual_only=True)
                 if inl >= self.cfg.reloc_min_inliers:
                     self.ref_kf = kid
                     self.lost_since = None
@@ -1246,8 +1252,16 @@ class Tracking:
         uv = np.stack([u, v], -1).astype(np.float32)
         already = set(int(x) for x in frame.mp_ids[frame.mp_ids >= 0])
         cand_ok = vis & np.array([mp not in already for mp in mp_ids])
+        # pad to the fixed bucket: every reloc attempt has a different
+        # candidate count, and an unpadded call would recompile the jitted
+        # matcher per unique M (tens of seconds each through the tunnel)
+        M = len(mp_ids)
+        uv = np.concatenate([uv, np.zeros((2048 - M, 2), np.float32)])
+        desc_pad = np.zeros((2048, m.points.desc.shape[1]), np.float32)
+        desc_pad[:M] = m.points.desc[mp_ids]
+        cand_ok = np.concatenate([cand_ok, np.zeros(2048 - M, bool)])
         res = matching.search_by_projection(
-            jnp.asarray(uv), jnp.asarray(m.points.desc[mp_ids]),
+            jnp.asarray(uv), jnp.asarray(desc_pad),
             jnp.asarray(cand_ok),
             jnp.asarray(frame.kpts_un), jnp.asarray(frame.desc),
             jnp.asarray(frame.valid),
