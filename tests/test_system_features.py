@@ -62,6 +62,43 @@ class TestCheckpoint:
         assert err < 0.05, err
 
 
+class TestCheckpointReindex:
+    def test_load_atlas_reindexes_all_maps(self, tracked_system, tmp_path):
+        """VERDICT round-2 Missing #2b: resume must rebuild ONE retrieval
+        index across ALL atlas maps with map-id tags (the reference re-links
+        a single KeyFrameDatabase over the whole atlas,
+        /root/reference/src/System.cc:1445-1506) — otherwise cross-map merge
+        after resume is dead."""
+        import copy
+
+        system, seq = tracked_system
+        active_id = system.map.map_id
+        m2 = system.atlas.create_new_map()
+        kf0 = system.map.keyframes[sorted(system.map.keyframes)[0]]
+        kf_copy = copy.deepcopy(kf0)
+        m2.keyframes[kf_copy.kid] = kf_copy
+        m2.covis[kf_copy.kid] = {}
+        m2.kf_origin = kf_copy.kid
+        system.atlas.active_id = active_id
+        try:
+            path = str(tmp_path / "two_maps.zip")
+            system.save_atlas(path)
+            fresh = System(system.settings, Sensor.RGBD, backend="orb")
+            fresh.load_atlas(path)
+            retr = fresh.loop_closing.retrieval
+            total = sum(m.num_keyframes() for m in fresh.atlas.all_maps())
+            assert len(fresh.atlas.maps) == 2
+            assert retr.n == total
+            mids = {int(x) for x in retr.map_ids[:retr.n]}
+            assert mids == {active_id, m2.map_id}
+            # eviction is re-wired on the loaded maps
+            loaded_m2 = fresh.atlas.maps[m2.map_id]
+            loaded_m2.remove_keyframe(kf_copy.kid)
+            assert (m2.map_id, kf_copy.kid) not in retr._index
+        finally:
+            system.atlas.maps.pop(m2.map_id, None)
+
+
 class TestTrajectoryFormats:
     def test_all_formats(self, tracked_system, tmp_path):
         system, _ = tracked_system
@@ -86,6 +123,111 @@ class TestTrajectoryFormats:
         assert "track:" in txt and "backend:" in txt
 
 
+class TestTrajectoryRebasing:
+    """Save-time trajectory re-basing (System::SaveTrajectoryTUM,
+    /root/reference/src/System.cc:569-627): saved frame poses must be
+    re-resolved as T_rel * T_refKF against the CURRENT keyframe poses, so
+    backend corrections (local BA / loop / GBA) reach the saved file."""
+
+    def test_resolved_matches_tracktime_when_map_unmoved(self, tracked_system):
+        system, _ = tracked_system
+        raw = system.tracking.trajectory
+        res = system.tracking.resolved_trajectory()
+        assert len(res) == len(raw) > 0
+        for (t0, R0, tr0, s0), (t1, R1, tr1, s1) in zip(raw, res):
+            assert t0 == t1 and s0 == s1
+            np.testing.assert_allclose(R1, R0, atol=1e-5)
+            np.testing.assert_allclose(tr1, tr0, atol=1e-4)
+
+    def test_saved_trajectory_follows_map_correction(self, tracked_system,
+                                                     tmp_path):
+        """Apply a rigid world transform to every keyframe (what a loop
+        correction does) — every saved frame pose must follow rigidly, which
+        the old track-time log provably could not do."""
+        system, _ = tracked_system
+        from xfeatslam_tpu.ops import lie
+        import jax.numpy as jnp
+
+        before = system.tracking.resolved_trajectory()
+        xi = np.array([0.2, -0.1, 0.3, 0.4, -0.2, 0.1], np.float32)
+        Rw, tw = lie.se3_exp(jnp.asarray(xi))
+        Rw, tw = np.asarray(Rw), np.asarray(tw)
+        # remap the world: T_kf' = T_kf ∘ T_w for every KF
+        for kf in system.map.keyframes.values():
+            kf.t = (kf.R @ tw + kf.t).astype(np.float32)
+            kf.R = (kf.R @ Rw).astype(np.float32)
+        after = system.tracking.resolved_trajectory()
+        for (ts0, R0, t0, s0), (ts1, R1, t1, s1) in zip(before, after):
+            # expected: T_f' = T_f ∘ T_w
+            np.testing.assert_allclose(R1, R0 @ Rw, atol=1e-4)
+            np.testing.assert_allclose(t1, R0 @ tw + t0, atol=1e-4)
+        # the TUM saver writes the corrected poses
+        tum = str(tmp_path / "rebased.txt")
+        system.save_trajectory_tum(tum)
+        _ts, rows = io_utils.load_trajectory_tum(tum)
+        Rwc0 = after[0][1].T
+        twc0 = -Rwc0 @ after[0][2]
+        np.testing.assert_allclose(rows[0][:3], twc0, atol=1e-4)
+        # undo for the other module-scope tests
+        Rwi, twi = Rw.T, -Rw.T @ tw
+        for kf in system.map.keyframes.values():
+            kf.t = (kf.R @ twi + kf.t).astype(np.float32)
+            kf.R = (kf.R @ Rwi).astype(np.float32)
+
+    def test_resolution_through_culled_reference(self, tracked_system):
+        """A frame whose reference KF is culled resolves through the
+        recorded relative-to-parent chain (the mTcp walk,
+        /root/reference/src/System.cc:589-596)."""
+        import copy
+
+        system, _ = tracked_system
+        tr = system.tracking
+        m = system.map
+        # fabricate a disposable KF parented to the origin, and a trajectory
+        # entry referencing it
+        parent_kid = m.kf_origin
+        kf = copy.deepcopy(m.keyframes[parent_kid])
+        kf.kid = 999
+        kf.parent = parent_kid
+        kf.children = set()
+        kf.mp_ids = np.full_like(kf.mp_ids, -1)
+        kf.R = np.asarray(
+            [[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32) @ kf.R
+        kf.t = kf.t + np.asarray([0.3, -0.1, 0.2], np.float32)
+        m.keyframes[999] = kf
+        m.covis[999] = {}
+        R_rel = np.eye(3, dtype=np.float32)
+        t_rel = np.asarray([0.05, 0.0, -0.02], np.float32)
+        from xfeatslam_tpu.slam.tracking import State
+
+        tr.traj_rel.append((123.0, State.OK, m.map_id, 999, R_rel, t_rel,
+                            (R_rel @ kf.R).copy(),
+                            (R_rel @ kf.t + t_rel).copy()))
+        try:
+            before = tr.resolved_trajectory()[-1]
+            m.remove_keyframe(999)
+            assert 999 in m.culled
+            after = tr.resolved_trajectory()[-1]
+            np.testing.assert_allclose(after[1], before[1], atol=1e-5)
+            np.testing.assert_allclose(after[2], before[2], atol=1e-4)
+            # and it still follows the parent when the parent later moves:
+            pkf = m.keyframes[parent_kid]
+            d = np.asarray([0.0, 0.5, 0.0], np.float32)
+            pkf.t = pkf.t + d
+            moved = tr.resolved_trajectory()[-1]
+            # T_frame = T_rel∘T_cp∘T_parent: a +d shift of t_parent moves
+            # t_frame by (R_rel @ R_cp) @ d
+            R_cp = m.culled[999][1]
+            np.testing.assert_allclose(
+                moved[2], after[2] + (R_rel @ R_cp) @ d, atol=1e-4)
+            pkf.t = pkf.t - d
+        finally:
+            tr.traj_rel.pop()
+            m.keyframes.pop(999, None)
+            m.covis.pop(999, None)
+            m.culled.pop(999, None)
+
+
 class TestLocalizationMode:
     def test_mapping_paused(self, tracked_system):
         system, seq = tracked_system
@@ -97,6 +239,36 @@ class TestLocalizationMode:
                               100.0 + i / 30.0)
         assert system.map.num_points() == mps_before
         system.deactivate_localization_mode()
+
+    def test_blocks_kf_insertion_when_policy_fires(self, tracked_system):
+        """mbOnlyTracking contract (/root/reference/src/Tracking.cc:1936):
+        even with the keyframe policy FORCED to fire every frame, localization
+        mode must not insert keyframes or map points; deactivating it under
+        the same conditions must insert again (positive control)."""
+        system, seq = tracked_system
+        tr = system.tracking
+        orig_policy = tr._need_new_keyframe
+        tr._need_new_keyframe = lambda frame: True  # policy ALWAYS fires
+        try:
+            system.activate_localization_mode()
+            kfs_before = system.map.num_keyframes()
+            mps_before = system.map.num_points()
+            for i in range(3):
+                state, _ = system.track_rgbd(seq["images"][i],
+                                             seq["depths"][i],
+                                             200.0 + i / 30.0)
+            assert state.name == "OK"
+            assert system.map.num_keyframes() == kfs_before
+            assert system.map.num_points() == mps_before
+            # positive control: identical conditions insert once re-enabled
+            system.deactivate_localization_mode()
+            for i in range(3, 5):
+                system.track_rgbd(seq["images"][i], seq["depths"][i],
+                                  200.0 + i / 30.0)
+            assert system.map.num_keyframes() > kfs_before
+        finally:
+            system.deactivate_localization_mode()
+            tr._need_new_keyframe = orig_policy
 
 
 class TestLiveViewer:

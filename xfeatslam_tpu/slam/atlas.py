@@ -8,7 +8,7 @@ when relocalization lands in an old map (ChangeMap :79). Map merging
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Callable, Dict, List, Optional, Tuple
 
 from .map import SlamMap
 
@@ -22,6 +22,15 @@ class Atlas:
         self._next_map_id = 0
         self.maps: Dict[int, SlamMap] = {}
         self.active_id: Optional[int] = None
+        # KF-removal hook shared by every map in this atlas (the one
+        # KeyFrameDatabase across maps, /root/reference/src/System.cc:1445):
+        # called as hook(map_id, kid) so retrieval can evict the entry
+        self.kf_removed_hook: Optional[Callable[[int, int], None]] = None
+        # map-merge record: dissolved_map_id -> (absorbing_map_id,
+        # kid_offset). Trajectory resolution chases these to find where a
+        # frame's reference keyframe moved (LoopClosing.merge_maps id-shifts
+        # the welded keyframes).
+        self.remaps: Dict[int, Tuple[int, int]] = {}
         self.create_new_map()
 
     @property
@@ -33,10 +42,15 @@ class Atlas:
         (Tracking::CreateMapInAtlas path, /root/reference/src/Tracking.cc:2689)."""
         m = SlamMap(map_id=self._next_map_id, desc_dim=self.desc_dim,
                     scale_factor=self.scale_factor, n_levels=self.n_levels)
+        m.on_kf_removed = self._dispatch_kf_removed
         self.maps[m.map_id] = m
         self.active_id = m.map_id
         self._next_map_id += 1
         return m
+
+    def _dispatch_kf_removed(self, map_id: int, kid: int):
+        if self.kf_removed_hook is not None:
+            self.kf_removed_hook(map_id, kid)
 
     def change_map(self, map_id: int):
         """Relocalized into a stored map (Atlas::ChangeMap)."""

@@ -59,6 +59,19 @@ class LoopClosing:
         from .retrieval import global_desc_dim
 
         self.retrieval = Retrieval(dim=global_desc_dim(slam_map.desc_dim))
+        # evict culled KFs from the index (KeyFrameDatabase::erase on
+        # SetBadFlag, /root/reference/src/KeyFrame.cc:655) — without this a
+        # dead KF that later wins a query crashes _matched_pairs
+        def _evict(map_id: int, kid: int):
+            self.retrieval.remove(kid, map_id)
+
+        self._evict = _evict
+        if atlas is not None:
+            atlas.kf_removed_hook = _evict
+            for m in atlas.maps.values():
+                m.on_kf_removed = atlas._dispatch_kf_removed
+        else:
+            slam_map.on_kf_removed = lambda mid, kid: _evict(mid, kid)
         self.detected: List[tuple] = []  # (kid, cand) raw candidates
         self.closed: List[tuple] = []  # (kid, cand) corrected loops
         self.merged: List[tuple] = []  # (new_map_id, old_map_id)
@@ -102,7 +115,10 @@ class LoopClosing:
                         if self._verify_and_merge(kid, ckid, cmap):
                             break
         finally:
-            self.retrieval.add(kid, kf.global_desc, self.map.map_id)
+            # kf.kid (not the argument): a merge fired above rewrites the
+            # keyframe's id and map in place — indexing the stale id would
+            # leave an unevictable entry pointing at a nonexistent KF
+            self.retrieval.add(kf.kid, kf.global_desc, self.map.map_id)
 
     def _update_consistency(self, kid: int, ckid: int) -> int:
         """Temporal-consistency counting over covisibility groups
@@ -126,8 +142,12 @@ class LoopClosing:
     def _matched_pairs(self, kid: int, ckid: int):
         """Descriptor-match the two KFs' map points; return matched slot
         pairs (role of SearchByBoW in DetectCommonRegionsFromBoW)."""
-        kf1 = self.map.keyframes[kid]
-        kf2 = self.map.keyframes[ckid]
+        kf1 = self.map.keyframes.get(kid)
+        kf2 = self.map.keyframes.get(ckid)
+        if kf1 is None or kf2 is None:
+            # candidate culled between query and verification
+            empty = np.zeros(0, np.int64)
+            return kf1, kf2, empty, empty
         b1 = kf1.mp_ids >= 0
         b2 = kf2.mp_ids >= 0
         v1 = b1 & kf1.valid & self.map.points.alive[np.where(b1, kf1.mp_ids, 0)]
@@ -711,10 +731,13 @@ class LoopClosing:
             for mp in mp_list[mp_list >= 0]:
                 m_old.update_point(int(mp))
         # retrieval: re-tag moved KFs to the old map with their new ids
-        for i in range(self.retrieval.n):
-            if int(self.retrieval.map_ids[i]) == m_new.map_id:
-                self.retrieval.map_ids[i] = m_old.map_id
-                self.retrieval.kids[i] = int(self.retrieval.kids[i]) + kid_offset
+        self.retrieval.retag_map(m_new.map_id, m_old.map_id, kid_offset)
+        # culled-KF trajectory anchors travel with the weld (id-shifted) so
+        # frames referencing a culled KF of the dissolved map stay resolvable
+        for ckid, (parent, R_cp, t_cp) in m_new.culled.items():
+            m_old.culled[ckid + kid_offset] = (
+                parent + kid_offset if parent >= 0 else -1, R_cp, t_cp
+            )
 
         # inertial bookkeeping (MergeLocal2, LoopClosing.cc:1858-1878): the
         # welded map keeps the destination frame. If only the moved map was
@@ -741,9 +764,11 @@ class LoopClosing:
             self.welding_iba(new_kid)
         elif self.run_gba:
             self.global_bundle_adjust()
-        # atlas: old map becomes active; new map dissolves
+        # atlas: old map becomes active; new map dissolves. The remap record
+        # lets trajectory resolution chase frames into the welded map.
         self.atlas.maps.pop(m_new.map_id, None)
         self.atlas.active_id = m_old.map_id
+        self.atlas.remaps[m_new.map_id] = (m_old.map_id, kid_offset)
         self.merged.append((m_new.map_id, m_old.map_id))
         m_old.change_index += 1
         return kid_offset

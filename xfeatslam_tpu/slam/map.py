@@ -168,6 +168,15 @@ class SlamMap:
         self.obs: Dict[int, Dict[int, int]] = {}
         # covisibility weights kf -> kf -> shared count
         self.covis: Dict[int, Dict[int, int]] = {}
+        # culled-KF anchors: kid -> (parent_kid, R_cp, t_cp) with
+        # T_kid = T_cp * T_parent recorded at cull time — the mTcp chain the
+        # reference walks when a trajectory reference KF went bad
+        # (/root/reference/src/System.cc:589-596, KeyFrame.cc:655 mTcp)
+        self.culled: Dict[int, tuple] = {}
+        # fired as on_kf_removed(map_id, kid) after a KF is culled — wired by
+        # LoopClosing so the retrieval index evicts the entry
+        # (KeyFrameDatabase::erase on SetBadFlag, KeyFrame.cc:655)
+        self.on_kf_removed = None
         self.kf_origin: Optional[int] = None
         self.change_index = 0
         # inertial init schedule flags (Map.h mbImuInitialized/mbIMU_BA1/2)
@@ -216,8 +225,20 @@ class SlamMap:
 
     def remove_keyframe(self, kid: int):
         """SetBadFlag semantics (/root/reference/src/KeyFrame.cc:655):
-        drop observations, reconnect children to grandparent."""
+        drop observations, reconnect children to grandparent, record the
+        relative-to-parent anchor (mTcp) for trajectory re-basing, and
+        notify the retrieval index (KeyFrameDatabase::erase)."""
         kf = self.keyframes[kid]
+        # anchor for trajectory entries that reference this KF: walkable
+        # chain to the parent, or the absolute pose when parentless
+        parent = kf.parent if kf.parent in self.keyframes else -1
+        if parent >= 0:
+            pkf = self.keyframes[parent]
+            R_cp = (kf.R @ pkf.R.T).astype(np.float32)
+            t_cp = (kf.t - R_cp @ pkf.t).astype(np.float32)
+        else:
+            R_cp, t_cp = kf.R.copy(), kf.t.copy()
+        self.culled[kid] = (parent, R_cp, t_cp)
         for slot in np.nonzero(kf.mp_ids >= 0)[0]:
             self.remove_observation(int(kf.mp_ids[slot]), kid)
         for other, _w in list(self.covis.get(kid, {}).items()):
@@ -234,6 +255,8 @@ class SlamMap:
         kf.bad = True
         del self.keyframes[kid]
         self.change_index += 1
+        if self.on_kf_removed is not None:
+            self.on_kf_removed(self.map_id, kid)
 
     def update_connections(self, kid: int):
         """Recount shared map points with all other KFs; keep edges with

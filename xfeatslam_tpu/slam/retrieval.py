@@ -88,7 +88,9 @@ class Retrieval:
         self.kids = np.full(capacity, -1, np.int64)
         self.map_ids = np.full(capacity, -1, np.int64)
         self.n = 0
-        self._index: Dict[int, int] = {}
+        # (map_id, kid) -> row: keyframe ids restart per map, so the key
+        # must carry the map (two maps both have a KF 0)
+        self._index: Dict[Tuple[int, int], int] = {}
 
     def add(self, kid: int, gdesc: np.ndarray, map_id: int = 0):
         """Atlas-wide: entries carry their map id (the reference keeps ONE
@@ -107,13 +109,27 @@ class Retrieval:
         self.descs[self.n] = gdesc
         self.kids[self.n] = kid
         self.map_ids[self.n] = map_id
-        self._index[kid] = self.n
+        self._index[(map_id, kid)] = self.n
         self.n += 1
 
-    def remove(self, kid: int):
-        i = self._index.pop(kid, None)
+    def remove(self, kid: int, map_id: int = 0):
+        """Evict a culled keyframe (KeyFrameDatabase::erase, called from
+        SetBadFlag — /root/reference/src/KeyFrame.cc:655). Without this a
+        dead KF can win a similarity query and crash loop verification."""
+        i = self._index.pop((map_id, kid), None)
         if i is not None:
             self.kids[i] = -1
+
+    def retag_map(self, old_map_id: int, new_map_id: int, kid_offset: int):
+        """A map merge moved every keyframe of ``old_map_id`` into
+        ``new_map_id`` with ids shifted by ``kid_offset`` — keep the stored
+        entries queryable under their new identity."""
+        for key in [k for k in self._index if k[0] == old_map_id]:
+            row = self._index.pop(key)
+            new_kid = key[1] + kid_offset
+            self.kids[row] = new_kid
+            self.map_ids[row] = new_map_id
+            self._index[(new_map_id, new_kid)] = row
 
     def query(self, gdesc: np.ndarray, exclude: Set[int],
               top_n: int = 3, min_score: float = 0.30,

@@ -95,6 +95,8 @@ def save_map(m: SlamMap, f):
             "version": FORMAT_VERSION,
             "map_id": m.map_id,
             "desc_dim": m.desc_dim,
+            "scale_factor": m.scale_factor,
+            "n_levels": m.n_levels,
             "kf_ids": kids,
             "kf_origin": m.kf_origin,
             "imu_initialized": m.imu_initialized,
@@ -122,7 +124,9 @@ def load_map(f) -> SlamMap:
     if header["checksum"] != _config_checksum(header["desc_dim"]):
         raise ValueError("atlas checkpoint checksum mismatch "
                          "(incompatible descriptor configuration)")
-    m = SlamMap(map_id=header["map_id"], desc_dim=header["desc_dim"])
+    m = SlamMap(map_id=header["map_id"], desc_dim=header["desc_dim"],
+                scale_factor=header.get("scale_factor", 1.2),
+                n_levels=header.get("n_levels", 1))
     for kid in header["kf_ids"]:
         meta = data[f"kf{kid}_meta"]
         kf = KeyFrame(

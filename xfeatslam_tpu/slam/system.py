@@ -264,11 +264,16 @@ class System:
 
     def activate_localization_mode(self):
         """Tracking-only: stop map growth (System::ActivateLocalizationMode,
-        /root/reference/src/System.cc:478; mbOnlyTracking semantics)."""
+        /root/reference/src/System.cc:478). Both halves of the reference
+        contract: the backend pauses (LocalMapping::RequestStop) AND the
+        tracker itself stops inserting keyframes / spawning depth points
+        (mbOnlyTracking, Tracking.cc:1936-2050)."""
         self._mapping_paused = True
+        self.tracking.only_tracking = True
 
     def deactivate_localization_mode(self):
         self._mapping_paused = False
+        self.tracking.only_tracking = False
 
     def reset(self):
         """System::Reset role: clear everything, restart with a fresh map."""
@@ -281,6 +286,7 @@ class System:
         self.tracking.velocity = None
         self.tracking.ref_kf = None
         self.tracking.trajectory.clear()
+        self.tracking.traj_rel.clear()
         self.tracking.new_keyframes.clear()
         self._sync_active_map()
 
@@ -304,7 +310,11 @@ class System:
         self.tracking.velocity = None
         self.tracking.ref_kf = None
         self._sync_active_map()
-        # rebuild retrieval over loaded keyframes
+        # rebuild ONE retrieval index across ALL loaded maps, tagged by map
+        # id (the reference re-links a single KeyFrameDatabase over the whole
+        # atlas on load, /root/reference/src/System.cc:1445-1506) — this is
+        # what makes post-resume relocalization into stored maps and
+        # cross-map merging work
         if self.loop_closing is not None:
             self.loop_closing.map = self.map
             from .retrieval import global_desc_dim
@@ -312,26 +322,36 @@ class System:
             retr = type(self.loop_closing.retrieval)(
                 dim=global_desc_dim(self.map.desc_dim)
             )
-            for kid in sorted(self.map.keyframes):
-                retr.add(kid, self.map.keyframes[kid].global_desc)
+            for m in self.atlas.all_maps():
+                for kid in sorted(m.keyframes):
+                    retr.add(kid, m.keyframes[kid].global_desc,
+                             map_id=m.map_id)
             self.loop_closing.retrieval = retr
             self.tracking.retrieval = retr
+            # re-wire KF-removal eviction into the fresh atlas/maps
+            self.atlas.kf_removed_hook = self.loop_closing._evict
+            for m in self.atlas.all_maps():
+                m.on_kf_removed = self.atlas._dispatch_kf_removed
 
     def save_trajectory_euroc(self, path: str):
-        traj = self.tracking.trajectory
+        """All three frame-trajectory savers re-base each frame onto the
+        CURRENT pose of its reference keyframe (T_frame = T_rel * T_refKF)
+        so corrections from local BA / loop closing / GBA reach the saved
+        file (System::SaveTrajectory*, /root/reference/src/System.cc:569-627)."""
+        traj = self.tracking.resolved_trajectory()
         io_utils.save_trajectory_euroc(
             path, [t for (t, _R, _t, _s) in traj],
             [(R, tr) for (_t, R, tr, _s) in traj],
         )
 
     def save_trajectory_kitti(self, path: str):
-        traj = self.tracking.trajectory
+        traj = self.tracking.resolved_trajectory()
         io_utils.save_trajectory_kitti(
             path, [(R, tr) for (_t, R, tr, _s) in traj]
         )
 
     def save_trajectory_tum(self, path: str):
-        traj = self.tracking.trajectory
+        traj = self.tracking.resolved_trajectory()
         io_utils.save_trajectory_tum(
             path,
             [t for (t, _R, _t, _s) in traj],

@@ -46,6 +46,50 @@ def np_body_to_cam(R_wb, p_wb, R_bc, t_bc):
     return R_cw.astype(np.float32), t_cw.astype(np.float32)
 
 
+def resolve_trajectory(traj_rel, active_map, atlas=None):
+    """Resolve a relative trajectory log against CURRENT keyframe poses:
+    T_frame = T_rel * T_refKF (System::SaveTrajectoryTUM,
+    /root/reference/src/System.cc:569-627). Culled references walk their
+    recorded relative-to-parent chain (the mTcp walk, :589-596); merged maps
+    are chased through the atlas remap records. Entries whose reference
+    chain is unresolvable fall back to their track-time absolute pose.
+    Returns [(timestamp, R, t, state)] world->camera."""
+    out = []
+    for (ts, state, map_id, ref_kid, R_rel, t_rel, R_abs, t_abs) in traj_rel:
+        m = active_map if map_id == active_map.map_id else None
+        if m is None and atlas is not None:
+            m = atlas.maps.get(map_id)
+            while m is None and map_id in atlas.remaps:
+                map_id, off = atlas.remaps[map_id]
+                if ref_kid >= 0:
+                    ref_kid += off
+                m = atlas.maps.get(map_id)
+        R, t = R_abs, t_abs
+        if m is not None and ref_kid >= 0 and R_rel is not None:
+            Rr, tr = R_rel, t_rel
+            kid = ref_kid
+            hops = 0
+            while kid not in m.keyframes and kid in m.culled and hops < 1000:
+                parent, R_cp, t_cp = m.culled[kid]
+                # T_frame = T_rel*T_kid, T_kid = T_cp*T_parent
+                Rr, tr = Rr @ R_cp, Rr @ t_cp + tr
+                if parent < 0:
+                    # parentless anchor: (R_cp,t_cp) IS the culled pose
+                    kid = -1
+                    break
+                kid = parent
+                hops += 1
+            kf = m.keyframes.get(kid)
+            if kf is not None:
+                R = Rr @ kf.R
+                t = Rr @ kf.t + tr
+            elif kid == -1:
+                R, t = Rr, tr
+        out.append((ts, lie.np_normalize_rotation(np.asarray(R)),
+                    np.asarray(t, np.float32), state))
+    return out
+
+
 class State(enum.Enum):
     NO_IMAGES = 0
     NOT_INITIALIZED = 1
@@ -131,8 +175,19 @@ class Tracking:
         self.next_kf_id = 0
         self.matches_inliers = 0
         self.lost_since: Optional[float] = None
-        # trajectory log: (timestamp, R, t, state)
+        # localization-only mode (mbOnlyTracking,
+        # /root/reference/src/Tracking.cc:1936-2050): pose tracking runs but
+        # keyframe insertion / map growth is disabled
+        self.only_tracking = False
+        # track-time trajectory log (timestamp, R, t, state) — live
+        # consumers (viewer); savers use resolved_trajectory() instead
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray, State]] = []
+        # relative trajectory log for save-time re-basing
+        # (mlRelativeFramePoses, /root/reference/src/Tracking.cc:2327-2347):
+        # (timestamp, state, map_id, ref_kid, R_rel, t_rel, R_abs, t_abs)
+        # with T_frame = T_rel * T_refKF re-resolved at save so loop/GBA
+        # corrections reach the saved trajectory (System.cc:569-627)
+        self.traj_rel: List[tuple] = []
         self.new_keyframes: List[int] = []  # queue for local mapping
         self.stats = {"motion_ok": 0, "refkf_ok": 0, "local_fail": 0, "kfs": 0}
 
@@ -260,7 +315,10 @@ class Tracking:
                 self.state = State.OK
                 self.lost_since = None
                 self._update_velocity(frame)
-                if self._need_new_keyframe(frame):
+                # localization mode never inserts keyframes or map points
+                # (mbOnlyTracking skips NeedNewKeyFrame entirely,
+                # /root/reference/src/Tracking.cc:2095-2150)
+                if not self.only_tracking and self._need_new_keyframe(frame):
                     self._create_keyframe(frame)
                 self._store_relative_pose(frame)
             else:
@@ -285,6 +343,7 @@ class Tracking:
                 last_kf = self.map.keyframes.get(self.last_kf_id)
                 if (self.state == State.RECENTLY_LOST
                         and self.cfg.insert_kfs_when_lost
+                        and not self.only_tracking
                         and self.imu_calib is not None
                         and self.map.imu_initialized
                         and frame.R is not None
@@ -297,6 +356,7 @@ class Tracking:
             self.trajectory.append(
                 (frame.timestamp, frame.R.copy(), frame.t.copy(), self.state)
             )
+            self._log_relative_pose(frame)
         self.last_frame = frame
         if self.imu_calib is not None:
             # roll the from-last-KF accumulation forward (None right after a
@@ -786,6 +846,31 @@ class Tracking:
         self.map.points.found[found] += 1
         self.matches_inliers = inl
         return inl >= self.cfg.min_inliers_local
+
+    def _log_relative_pose(self, frame: Frame):
+        """Append one save-time-rebasable trajectory entry: the frame pose
+        RELATIVE to its reference keyframe (mlRelativeFramePoses push,
+        /root/reference/src/Tracking.cc:2327-2347). The absolute pose rides
+        along as the fallback for frames whose reference chain is lost."""
+        kf = self.map.keyframes.get(self.ref_kf)
+        if kf is not None:
+            R_rel = (frame.R @ kf.R.T).astype(np.float32)
+            t_rel = (frame.t - R_rel @ kf.t).astype(np.float32)
+            ref_kid = self.ref_kf
+        else:
+            R_rel = t_rel = None
+            ref_kid = -1
+        self.traj_rel.append(
+            (frame.timestamp, self.state, self.map.map_id, ref_kid,
+             R_rel, t_rel, frame.R.copy(), frame.t.copy())
+        )
+
+    def resolved_trajectory(self):
+        """Re-base every logged frame onto the CURRENT pose of its reference
+        keyframe — T_frame = T_rel * T_refKF — so loop corrections and GBA
+        reach the saved trajectory (System::SaveTrajectoryTUM,
+        /root/reference/src/System.cc:569-627)."""
+        return resolve_trajectory(self.traj_rel, self.map, self.atlas)
 
     def _store_relative_pose(self, frame: Frame):
         """Remember T_frame_ref = Tcw_frame * Twc_refkf so the frame pose can
