@@ -28,9 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 H, W, K = 480, 640, 1000
-# Operating point from the round-2 B-sweep on one v5e chip:
-# 32->662, 64->880, 128->1238, 256->1343, 512->1467 fps — the knee is
-# ~256 (dispatch overhead amortized; past it HBM effects flatten gains).
+# Operating point from the round-3 B-sweep on one v5e chip (tiled top-k):
+# 128->1660, 256->2009, 512->2098, 1024->2218 fps — the knee stays ~256
+# (dispatch overhead amortized; past it gains are <10% for 4x the memory).
 BATCH = 256
 WARMUP = 2
 ITERS = 8
@@ -109,6 +109,36 @@ def bench_torch_cpu(images, n_frames=2):
         return 2.8  # measured libtorch-CPU fps on the dev host
 
 
+def _install_dispatch_counter():
+    """Wrap every module-level jitted callable in the tracking compute path
+    with a counting proxy — a dispatches-per-tracked-frame gauge for the
+    online mode (each jitted call is >= 1 device round trip; through the
+    axon tunnel each RTT is ~15-30 ms, which is what bounds batch-1 fps
+    here). Returns the counter dict."""
+    import jax
+
+    from xfeatslam_tpu.models import extractor, orb, xfeat
+    from xfeatslam_tpu.ops import camera, detect, geometry, imu, matching
+    from xfeatslam_tpu.optim import (inertial, local_ba, pnp, pose_opt,
+                                     sim3, track_step, two_view)
+
+    jit_type = type(jax.jit(lambda: 0))
+    counter = {"n": 0}
+    mods = [extractor, orb, xfeat, camera, detect, geometry, imu, matching,
+            inertial, local_ba, pnp, pose_opt, sim3, track_step, two_view]
+    for mod in mods:
+        for name in list(vars(mod)):
+            obj = vars(mod)[name]
+            if isinstance(obj, jit_type):
+                def make(f):
+                    def wrapped(*a, **k):
+                        counter["n"] += 1
+                        return f(*a, **k)
+                    return wrapped
+                setattr(mod, name, make(obj))
+    return counter
+
+
 def bench_online(backend: str, n_frames: int = 40):
     """Per-frame SLAM tracking latency (the online path the reference's
     rgbd_tum example reports, /root/reference/examples/RGB-D/rgbd_tum.cc:
@@ -129,6 +159,7 @@ def bench_online(backend: str, n_frames: int = 40):
     platform = jax.devices()[0].platform
     seq = synthetic.make_sequence(n_frames=n_frames)
     K = seq["K"]
+    counter = _install_dispatch_counter()
 
     def run():
         settings = Settings(
@@ -146,12 +177,15 @@ def bench_online(backend: str, n_frames: int = 40):
         return np.array(times)
 
     run()  # compile pass
+    counter["n"] = 0
     steady = run()[2:]
     fps = 1.0 / steady.mean()
+    dpf = counter["n"] / n_frames
     print(f"# online[{backend}] median={np.median(steady)*1e3:.1f}ms "
-          f"mean={steady.mean()*1e3:.1f}ms p90={np.percentile(steady,90)*1e3:.1f}ms",
+          f"mean={steady.mean()*1e3:.1f}ms p90={np.percentile(steady,90)*1e3:.1f}ms "
+          f"jitted-dispatches/frame={dpf:.1f}",
           file=sys.stderr)
-    return fps, platform
+    return fps, platform, dpf
 
 
 def main():
@@ -171,19 +205,23 @@ def main():
             "vs_baseline": round(fps / base_fps, 2),
         }))
     if args.mode in ("online", "all"):
-        fps, platform = bench_online("xfeat")
+        fps, platform, dpf = bench_online("xfeat")
         print(json.dumps({
             "metric": f"slam_online_tracking_fps_{platform}",
             "value": round(fps, 2),
-            "unit": "frames/s (per-frame RGB-D tracking incl. backend, batch 1)",
+            "unit": ("frames/s (per-frame RGB-D tracking incl. backend, "
+                     f"batch 1, {dpf:.0f} jitted dispatches/frame; through "
+                     "the axon tunnel each dispatch costs ~15-30 ms RTT)"),
             "vs_baseline": round(fps / 30.0, 2),  # 30 fps real-time pacing
         }))
     if args.mode in ("orb", "all"):
-        fps, platform = bench_online("orb")
+        fps, platform, dpf = bench_online("orb")
         print(json.dumps({
             "metric": f"slam_online_tracking_fps_orb_{platform}",
             "value": round(fps, 2),
-            "unit": "frames/s (per-frame RGB-D tracking incl. backend, batch 1)",
+            "unit": ("frames/s (per-frame RGB-D tracking incl. backend, "
+                     f"batch 1, {dpf:.0f} jitted dispatches/frame; through "
+                     "the axon tunnel each dispatch costs ~15-30 ms RTT)"),
             "vs_baseline": round(fps / 30.0, 2),
         }))
 

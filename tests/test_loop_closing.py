@@ -283,6 +283,83 @@ class TestTrajectoryAfterLoop:
         np.testing.assert_allclose(track_time, before, atol=1e-6)
 
 
+class TestBudgetedGBA:
+    def test_gba_runs_in_ticks_and_converges(self, rng):
+        """VERDICT round-2 Missing #5: post-loop GBA must not run inline in
+        the tracked frame — with gba_budget_rounds set, the robust stage
+        runs at the loop frame and the remaining LM rounds advance one per
+        tick() (the reference's detached abortable GBA thread,
+        /root/reference/src/LoopClosing.cc:1199-1207), converging to the
+        same quality bar as the inline path."""
+        m, gt, est = build_loop_map(rng)
+        lc = LoopClosing(m, CAM, fix_scale=False, confirmations=1,
+                         run_gba=True, proj_matches=25,
+                         proj_matches_strict=30)
+        lc.gba_budget_rounds = 3
+        for kid in sorted(m.keyframes):
+            lc.process_keyframe(kid)
+        assert len(lc.closed) >= 1
+        # deferred: the session exists instead of a finished inline GBA
+        assert lc._gba_session is not None
+
+        # a keyframe arriving DURING the session (created by tracking while
+        # the "background" GBA runs) must be carried by spanning propagation
+        import copy
+
+        last = max(m.keyframes)
+        lkf = m.keyframes[last]
+        nk = copy.deepcopy(lkf)
+        nk.kid = last + 1
+        nk.parent = last
+        nk.children = set()
+        nk.mp_ids = np.full_like(nk.mp_ids, -1)
+        t_rel = np.array([0.05, 0.0, -0.02], np.float32)
+        nk.R = lkf.R.copy()
+        nk.t = (lkf.t + t_rel).astype(np.float32)
+        m.keyframes[nk.kid] = nk
+        m.covis[nk.kid] = {}
+        lkf.children.add(nk.kid)
+
+        ticks = 0
+        while lc._gba_session is not None and ticks < 10:
+            lc.tick()
+            ticks += 1
+        assert ticks == 3, ticks
+        # converged to the inline-path quality bar
+        errs_b = [np.linalg.norm(est[k][1] - gt[k][1])
+                  for k in range(len(est))]
+        errs_a = [np.linalg.norm(m.keyframes[k].t - gt[k][1])
+                  for k in range(len(est))]
+        assert np.mean(errs_a) < 0.85 * np.mean(errs_b), (
+            np.mean(errs_a), np.mean(errs_b))
+        # the mid-session keyframe kept its relative pose to its parent
+        t_rel2 = nk.t - (nk.R @ m.keyframes[last].R.T) @ m.keyframes[last].t
+        R_rel2 = nk.R @ m.keyframes[last].R.T
+        np.testing.assert_allclose(R_rel2, np.eye(3), atol=1e-4)
+        np.testing.assert_allclose(t_rel2, t_rel, atol=1e-4)
+
+    def test_session_aborts_on_geometry_epoch(self, rng):
+        """A whole-map transform (IMU-init rescale / merge) invalidates the
+        captured problem — the session must abort, not apply stale poses."""
+        m, gt, est = build_loop_map(rng)
+        lc = LoopClosing(m, CAM, fix_scale=False, confirmations=1,
+                         run_gba=True, proj_matches=25,
+                         proj_matches_strict=30)
+        lc.gba_budget_rounds = 3
+        for kid in sorted(m.keyframes):
+            lc.process_keyframe(kid)
+        assert lc._gba_session is not None
+        poses_before = {k: (kf.R.copy(), kf.t.copy())
+                        for k, kf in m.keyframes.items()}
+        m.apply_scaled_rotation(np.eye(3, dtype=np.float32), 2.0)
+        lc.tick()
+        assert lc._gba_session is None
+        # nothing from the stale problem was applied on top of the rescale
+        for k, kf in m.keyframes.items():
+            np.testing.assert_allclose(kf.t, 2.0 * poses_before[k][1],
+                                       atol=1e-6)
+
+
 class TestRetrievalLifecycle:
     def test_culled_kf_evicted_and_no_crash(self, rng):
         """VERDICT round-2 Missing #2a: culling a retrieval-indexed KF must

@@ -88,3 +88,92 @@ def test_no_high_scores_between_scenes(bank):
     sims = flat @ flat.T
     cross = sims[scene_of[:, None] != scene_of[None, :]]
     assert np.quantile(cross, 0.999) < 0.65, float(np.quantile(cross, 0.999))
+
+
+BIG_SCENES = 6
+BIG_VIEWS = 50
+BIG_HW = (144, 192)
+
+
+class TestLargeSelfSimilarBank:
+    """VERDICT round-2 item 8: retrieval at fr3/long_office-class scale —
+    300 keyframes across 6 scenes where half the scenes REUSE another
+    scene's wall textures (repeated decor, the self-similarity that raises
+    the cross-scene pedestal), plus the data-derived k-means codebook
+    option (role of DBoW2's trained vocabulary)."""
+
+    @pytest.fixture(scope="class")
+    def big(self):
+        K = np.array([[170.0, 0, BIG_HW[1] / 2], [0, 170.0, BIG_HW[0] / 2],
+                      [0, 0, 1]], np.float32)
+        ext = XFeatExtractor(nfeatures=300)
+        scenes = [synthetic.RoomScene(seed=700 + s) for s in range(BIG_SCENES)]
+        for s in range(3, BIG_SCENES):
+            scenes[s].tex = scenes[s - 3].tex  # repeated decor
+        images = []
+        for sc in scenes:
+            # slow forward drift: at 0.02 m/frame the camera ends the orbit
+            # nose-to-wall seeing ONLY the (shared) wallpaper — bitwise-
+            # identical views across scenes, unresolvable by construction
+            poses = synthetic.orbit_trajectory(BIG_VIEWS + 1, radius=0.3,
+                                               forward_per_frame=0.005)
+            for (R, t) in poses:
+                img, _ = sc.render(K, R, t, BIG_HW)
+                images.append(img)
+        out = ext(np.stack(images)[..., None])
+        return out["desc"], out["valid"]
+
+    @staticmethod
+    def _aggregate(desc, valid):
+        g = np.stack([aggregate_global_desc(desc[i], valid[i])
+                      for i in range(len(desc))])
+        g = g.reshape(BIG_SCENES, BIG_VIEWS + 1, -1)
+        return g[:, :BIG_VIEWS], g[:, BIG_VIEWS]
+
+    def _check_bank(self, gdescs, queries, min_margin):
+        db = Retrieval(dim=gdescs.shape[-1])
+        for s in range(BIG_SCENES):
+            for v in range(BIG_VIEWS):
+                db.add(kid=s * 1000 + v, gdesc=gdescs[s, v], map_id=0)
+        assert db.n == BIG_SCENES * BIG_VIEWS == 300
+        margins = []
+        for s in range(BIG_SCENES):
+            got = db.query(queries[s], exclude=set(), min_score=0.30,
+                           top_n=3)
+            assert got, f"scene {s}: nothing above min_score"
+            kid, _sc = got[0]
+            assert kid // 1000 == s, (s, got)
+            assert abs(kid % 1000 - (BIG_VIEWS - 1)) <= 5, (s, got)
+            # zero false candidates: every returned candidate is same-scene
+            assert all(k // 1000 == s for k, _ in got), (s, got)
+            flat = gdescs.reshape(-1, gdescs.shape[-1])
+            scene_of = np.repeat(np.arange(BIG_SCENES), BIG_VIEWS)
+            sims = flat @ queries[s]
+            margins.append(float(sims[scene_of == s].max()
+                                 - sims[scene_of != s].max()))
+        assert min(margins) > min_margin, margins
+        return margins
+
+    def test_default_codebook_300kf(self, big):
+        desc, valid = big
+        gdescs, queries = self._aggregate(desc, valid)
+        self._check_bank(gdescs, queries, min_margin=0.02)
+
+    def test_kmeans_codebook_at_least_as_good(self, big):
+        from xfeatslam_tpu.slam.retrieval import fit_codebook, use_codebook
+
+        desc, valid = big
+        g_def, q_def = self._aggregate(desc, valid)
+        m_def = self._check_bank(g_def, q_def, min_margin=0.02)
+        d = desc[valid]
+        rng = np.random.default_rng(0)
+        d = d[rng.choice(len(d), min(len(d), 40000), replace=False)]
+        use_codebook(fit_codebook(d))
+        try:
+            g_km, q_km = self._aggregate(desc, valid)
+            m_km = self._check_bank(g_km, q_km, min_margin=0.02)
+            # the trained codebook must not lose separation on the
+            # self-similar bank
+            assert np.mean(m_km) > 0.8 * np.mean(m_def), (m_km, m_def)
+        finally:
+            use_codebook(None, dim=64)  # restore the default for other tests

@@ -1,12 +1,14 @@
 #!/usr/bin/env python
-"""Self-supervised XFeat training on synthetic scenes.
+"""Self-supervised XFeat training on rendered view pairs.
 
 The reference consumes pretrained weights (weights/xfeat.pt — absent from
-the snapshot); this derives weights IN-FRAMEWORK: the sharded train step
-(parallel/train.py: shift-equivariance InfoNCE on descriptors + contrast
-pseudo-labels for the keypoint head + agreement regression for reliability)
-over procedurally rendered room scenes. Runs on whatever jax.devices()
-offers (the single TPU chip under axon, or CPU).
+the snapshot); this derives weights IN-FRAMEWORK with TRUE cross-view
+supervision (parallel/train.py): descriptor InfoNCE at depth-projected
+ground-truth correspondences, a cross-view within-cell contrast teacher for
+the keypoint head, and agreement regression for reliability — over
+procedurally rendered room-scene view PAIRS with realistic viewpoint change
+(baseline + yaw/pitch/ROLL + forward motion for scale change) and an
+occlusion check against the second view's depth.
 
     python tools/train_xfeat.py --steps 2000 --out weights/xfeat_synthetic.npz
 """
@@ -21,21 +23,86 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 
-def make_batches(rng, n_scenes=6, hw=(128, 160), per_scene=64):
-    """Pre-render a pool of synthetic views to sample training batches from."""
+def _rot(w):
+    """Rodrigues: (3,) axis-angle -> (3,3)."""
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3, dtype=np.float32)
+    k = w / th
+    Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return (np.eye(3) + np.sin(th) * Kx
+            + (1 - np.cos(th)) * (Kx @ Kx)).astype(np.float32)
+
+
+def dense_correspondence(depth_a, depth_b, R_ab, t_ab, K):
+    """Dense A->B pixel map from A's depth + relative pose, with an
+    occlusion check against B's rendered depth. Returns (corr (H,W,2)
+    float32 x,y in B; valid (H,W) bool)."""
+    H, W = depth_a.shape
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                       np.arange(H, dtype=np.float32))
+    z = depth_a
+    ok = z > 0
+    X = np.stack([(u - cx) / fx * z, (v - cy) / fy * z, z], -1)
+    Xb = X @ R_ab.T + t_ab
+    zb = Xb[..., 2]
+    ok &= zb > 0.05
+    zs = np.maximum(zb, 1e-6)
+    ub = fx * Xb[..., 0] / zs + cx
+    vb = fy * Xb[..., 1] / zs + cy
+    ok &= (ub >= 1) & (ub < W - 1) & (vb >= 1) & (vb < H - 1)
+    # occlusion: the projected depth must match B's surface depth
+    ui = np.clip(ub, 0, W - 1).astype(int)
+    vi = np.clip(vb, 0, H - 1).astype(int)
+    ok &= np.abs(depth_b[vi, ui] - zb) < 0.05 * np.maximum(zb, 1.0)
+    corr = np.stack([ub, vb], -1).astype(np.float32)
+    corr[~ok] = 0.0
+    return corr, ok
+
+
+def render_pair_pool(rng, n_scenes=6, hw=(128, 160), pairs_per_scene=28,
+                     f=130.0):
+    """Pre-render a pool of view pairs with ground-truth correspondence."""
     from xfeatslam_tpu.utils import synthetic
 
-    pool = []
+    K = np.array([[f, 0, hw[1] / 2], [0, f, hw[0] / 2], [0, 0, 1]],
+                 np.float32)
+    img_a, img_b, corr, valid = [], [], [], []
     for s in range(n_scenes):
         scene = synthetic.RoomScene(seed=100 + s)
-        K = np.array([[130.0, 0, hw[1] / 2], [0, 130.0, hw[0] / 2], [0, 0, 1]],
-                     np.float32)
-        poses = synthetic.orbit_trajectory(per_scene, radius=0.3,
-                                           forward_per_frame=0.01)
-        for (R, t) in poses:
-            img, _ = scene.render(K, R, t, hw)
-            pool.append(img.astype(np.float32) / 255.0)
-    return np.stack(pool)[..., None]
+        base = synthetic.orbit_trajectory(pairs_per_scene, radius=0.3,
+                                          forward_per_frame=0.01)
+        for (Ra, ta) in base:
+            # view B: translated + rotated (yaw/pitch/ROLL) + scale change
+            dt_c = np.array([rng.uniform(-0.25, 0.25),
+                             rng.uniform(-0.12, 0.12),
+                             rng.uniform(-0.35, 0.35)], np.float32)
+            w = np.array([rng.normal(0, 0.05), rng.normal(0, 0.07),
+                          rng.normal(0, 0.10)], np.float32)  # incl. roll(z)
+            dR = _rot(w)
+            Rb = (dR @ Ra).astype(np.float32)
+            # camera centers: C_b = C_a + R_wc_a @ dt_c (move in cam frame)
+            Ca = -Ra.T @ ta
+            Cb = Ca + Ra.T @ dt_c
+            tb = (-Rb @ Cb).astype(np.float32)
+            a_img, a_dep = scene.render(K, Ra, ta, hw)
+            b_img, b_dep = scene.render(K, Rb, tb, hw)
+            R_ab = Rb @ Ra.T
+            t_ab = tb - R_ab @ ta
+            c, ok = dense_correspondence(a_dep, b_dep, R_ab, t_ab, K)
+            if ok.mean() < 0.3:
+                continue  # too little covisibility to supervise
+            img_a.append(a_img.astype(np.float32) / 255.0)
+            img_b.append(b_img.astype(np.float32) / 255.0)
+            corr.append(c)
+            valid.append(ok)
+    return {
+        "img_a": np.stack(img_a)[..., None],
+        "img_b": np.stack(img_b)[..., None],
+        "corr_px": np.stack(corr),
+        "px_valid": np.stack(valid),
+    }
 
 
 def main():
@@ -45,6 +112,8 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--out", default="weights/xfeat_synthetic.npz")
     ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--init", default=None,
+                    help="warm-start weights npz (e.g. the shipped ones)")
     args = ap.parse_args()
 
     import jax
@@ -57,21 +126,25 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
-    print("rendering training pool...", flush=True)
-    pool = make_batches(rng)
-    print(f"pool: {pool.shape}", flush=True)
+    print("rendering training pair pool...", flush=True)
+    pool = render_pair_pool(rng)
+    n_pool = len(pool["img_a"])
+    print(f"pool: {n_pool} pairs of {pool['img_a'].shape[1:3]}", flush=True)
 
     mesh = mesh_lib.make_mesh()
     optimizer = optax.adam(args.lr)
     init_fn, step_fn = train.make_train_step(mesh, optimizer)
-    params = xfeat.init_params(jax.random.PRNGKey(0))
+    if args.init:
+        params = wio.load_npz(args.init)
+    else:
+        params = xfeat.init_params(jax.random.PRNGKey(0))
     params, opt_state = init_fn(params)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     t0 = time.time()
     for step in range(args.steps):
-        idx = rng.integers(0, len(pool), args.batch)
-        batch = jnp.asarray(pool[idx])
+        idx = rng.integers(0, n_pool, args.batch)
+        batch = {k: jnp.asarray(v[idx]) for k, v in pool.items()}
         params, opt_state, loss, aux = step_fn(params, opt_state, batch)
         if step % 50 == 0:
             jax.block_until_ready(loss)

@@ -51,6 +51,37 @@ def nms_mask(heatmap, threshold: float = 0.05, kernel_size: int = 5):
     return (heatmap == local_max) & (heatmap > threshold)
 
 
+def _nms_topk_tiled(ranked, k: int, tile_h: int = 8, tile_w: int = 16,
+                    per_tile: int = 24):
+    """Exact top-k over an NMS-masked score map, in two stages.
+
+    A flat lax.top_k over B x (H*W) is the single most expensive op in the
+    extraction pipeline on TPU (measured 130 ms of a 192 ms batch-256
+    graph — tools/profile_pipeline.py). But 5x5 NMS survivors are spaced:
+    two distinct local maxima within the same window cannot both survive,
+    so any 8x16 tile holds at most ceil(8/3)*ceil(16/3) = 18 survivors
+    (ties on exactly-equal plateau scores could exceed this; per_tile=24
+    leaves margin, and a lost tie is an identical-score duplicate the NMS
+    exists to remove). Stage 1 takes a per-tile top-``per_tile`` over 128
+    elements; stage 2 runs the real top-k over the ~7x smaller candidate
+    set. Returns (scores (B,k), flat indices (B,k)) identical to
+    lax.top_k(ranked.reshape(B,-1), k) up to pathological ties.
+    """
+    B, H, W = ranked.shape
+    nth, ntw = H // tile_h, W // tile_w
+    t = ranked.reshape(B, nth, tile_h, ntw, tile_w)
+    t = t.transpose(0, 1, 3, 2, 4).reshape(B, nth * ntw, tile_h * tile_w)
+    vals, loc = lax.top_k(t, per_tile)  # (B, nt, per_tile)
+    ty, tx = loc // tile_w, loc % tile_w
+    tile_ids = jnp.arange(nth * ntw, dtype=jnp.int32)
+    gy = (tile_ids // ntw)[None, :, None] * tile_h + ty
+    gx = (tile_ids % ntw)[None, :, None] * tile_w + tx
+    gidx = (gy * W + gx).reshape(B, -1)
+    scores, sel = lax.top_k(vals.reshape(B, -1), k)
+    idx = jnp.take_along_axis(gidx, sel, axis=1)
+    return scores, idx
+
+
 @functools.partial(jax.jit, static_argnames=("num_keypoints", "subpixel"))
 def select_keypoints(feats, logits, heatmap, num_keypoints: int,
                      threshold: float = 0.05, softmax_temp: float = 1.0,
@@ -97,8 +128,8 @@ def select_keypoints(feats, logits, heatmap, num_keypoints: int,
     score_map = k1h_nearest * rel
 
     neg_inf = jnp.float32(-1.0)
-    ranked = jnp.where(mask, score_map, neg_inf).reshape(B, H * W)
-    scores, idx = lax.top_k(ranked, num_keypoints)
+    ranked = jnp.where(mask, score_map, neg_inf)
+    scores, idx = _nms_topk_tiled(ranked, num_keypoints)
     xs_i = idx % W
     ys_i = idx // W
     kpts = jnp.stack([xs_i.astype(jnp.float32),

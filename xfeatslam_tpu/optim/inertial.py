@@ -46,6 +46,29 @@ def cam_to_body(R_cw, t_cw, R_bc, t_bc):
     return R_wb, p_wb
 
 
+def np_cam_to_body(R_cw, t_cw, R_bc, t_bc):
+    """Host-numpy mirror of cam_to_body for the tracker/mapper control
+    plane (single poses, no device dispatch)."""
+    import numpy as np
+
+    R_wc = R_cw.T
+    C_w = -R_wc @ t_cw
+    R_wb = R_wc @ R_bc.T
+    p_wb = C_w - R_wb @ t_bc
+    return R_wb.astype(np.float32), p_wb.astype(np.float32)
+
+
+def np_body_to_cam(R_wb, p_wb, R_bc, t_bc):
+    """Host-numpy mirror of body_to_cam."""
+    import numpy as np
+
+    R_wc = R_wb @ R_bc
+    C_w = p_wb + R_wb @ t_bc
+    R_cw = R_wc.T
+    t_cw = -R_cw @ C_w
+    return R_cw.astype(np.float32), t_cw.astype(np.float32)
+
+
 def body_to_cam(R_wb, p_wb, R_bc, t_bc):
     """Body state -> T_cw (world->camera) for reprojection."""
     R_wc = R_wb @ R_bc
@@ -213,6 +236,10 @@ class PoseInertialResult(NamedTuple):
     ba: jnp.ndarray
     inliers: jnp.ndarray  # (N,) visual edge classification
     num_inliers: jnp.ndarray
+    # (15,15) information (J^T J at the solution) of the estimated state —
+    # the recoverH output the reference uses to build ConstraintPoseImu
+    # (/root/reference/src/Optimizer.cc:4491 `bRecInit`, G2oTypes.h:706)
+    H: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnames=("rounds", "iters"))
@@ -315,8 +342,139 @@ def pose_inertial_optimization(
     R = lie.normalize_rotation(R)
     inl = valid & (edge_chi2(*visual_residuals(R, p)) <= jnp.where(
         is_stereo, CHI2_STEREO, CHI2_MONO))
+    # information of the solved state for the next frame's marginalized
+    # prior (recoverH role)
+    J = jax.jacfwd(lambda xx: residual_fn(xx, active, robust_w(
+        edge_chi2(*visual_residuals(R, p)), active)))(x)
+    H = J.T @ J
     return PoseInertialResult(R, p, v, bg, ba, inl,
-                              jnp.sum(inl.astype(jnp.int32)))
+                              jnp.sum(inl.astype(jnp.int32)),
+                              0.5 * (H + H.T))
+
+
+class PoseInertialFrameResult(NamedTuple):
+    R_wb: jnp.ndarray
+    p_wb: jnp.ndarray
+    v_w: jnp.ndarray
+    bg: jnp.ndarray
+    ba: jnp.ndarray
+    inliers: jnp.ndarray
+    num_inliers: jnp.ndarray
+    # (15,15) MARGINAL information of the current state after Schur-
+    # eliminating the last frame — the next frame's ConstraintPoseImu
+    H: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+def pose_inertial_optimization_last_frame(
+    # current state initial values (body frame)
+    R_j, p_j, v_j, bg_j, ba_j,
+    # LAST FRAME state (the prior's mean) — optimized jointly
+    R_i, p_i, v_i, bg_i, ba_i,
+    # (15,15) sqrt-information of the last-frame prior (L @ delta whitens)
+    prior_L,
+    # preintegration last frame -> current (at the last frame's bias)
+    pre: Preintegrated,
+    # visual edges of the CURRENT frame
+    Xw, obs_uv, obs_ur, inv_sigma2, is_stereo, valid,
+    cam: Pinhole, bf, R_bc, t_bc,
+    gravity=GRAVITY,
+    rounds: int = 3, iters: int = 8,
+):
+    """PoseInertialOptimizationLastFrame
+    (/root/reference/src/Optimizer.cc:4875): between keyframes, the
+    per-frame solve chains POSTERIORS — the last frame enters as a free
+    15-D state held by its marginalized prior (EdgePriorPoseImu /
+    ConstraintPoseImu, G2oTypes.h:706), the inertial + bias-walk edges
+    couple it to the current frame, and the last frame is Schur-eliminated
+    afterwards to produce the next prior. Without this, a long KF-less
+    stretch (RECENTLY_LOST dead-reckoning, localization mode) re-integrates
+    one long noisy edge instead of accumulating information."""
+    L9 = _whitener9(pre.cov[:9, :9])
+    walk_info = jnp.linalg.inv(pre.cov[9:, 9:] + 1e-10 * jnp.eye(6))
+    Lb = jnp.linalg.cholesky(0.5 * (walk_info + walk_info.T))
+
+    def unpack(x):
+        xi, xj = x[:15], x[15:]
+        Ri = R_i @ lie.so3_exp(xi[0:3])
+        pi = p_i + xi[3:6]
+        vi = v_i + xi[6:9]
+        bgi = bg_i + xi[9:12]
+        bai = ba_i + xi[12:15]
+        Rj = R_j @ lie.so3_exp(xj[0:3])
+        pj = p_j + xj[3:6]
+        vj = v_j + xj[6:9]
+        bgj = bg_j + xj[9:12]
+        baj = ba_j + xj[12:15]
+        return (Ri, pi, vi, bgi, bai), (Rj, pj, vj, bgj, baj)
+
+    def visual_residuals(R, p):
+        R_cw, t_cw = body_to_cam(R, p, R_bc, t_bc)
+        Xc = Xw @ R_cw.T + t_cw
+        uv = pinhole_project(cam, Xc)
+        z = Xc[..., 2]
+        inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        ur_pred = uv[..., 0] - bf * inv_z
+        e_uv = obs_uv - uv
+        e_ur = jnp.where(is_stereo, obs_ur - ur_pred, 0.0)
+        return e_uv, e_ur
+
+    def edge_chi2(e_uv, e_ur):
+        return (jnp.sum(e_uv * e_uv, -1) + e_ur * e_ur) * inv_sigma2
+
+    def robust_w(chi2, active):
+        delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+        w = jnp.where(chi2 <= delta2, 1.0,
+                      jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
+        return w * active
+
+    def residual_fn(x, w_cached):
+        (Ri, pi, vi, bgi, bai), (Rj, pj, vj, bgj, baj) = unpack(x)
+        e_uv, e_ur = visual_residuals(Rj, pj)
+        wv = jnp.sqrt(w_cached * inv_sigma2)
+        r_vis = jnp.concatenate(
+            [e_uv * wv[:, None], (e_ur * wv)[:, None]], axis=-1
+        ).reshape(-1)
+        # inertial edge i->j at i's bias
+        dRc, dVc, dPc = delta_with_bias(pre, bgi, bai)
+        t = pre.dt
+        e_R = lie.so3_log(dRc.T @ (Ri.T @ Rj))
+        e_v = Ri.T @ (vj - vi - gravity * t) - dVc
+        e_p = Ri.T @ (pj - pi - vi * t - 0.5 * gravity * t * t) - dPc
+        r_imu = L9 @ jnp.concatenate([e_R, e_v, e_p])
+        r_bias = Lb @ jnp.concatenate([bgj - bgi, baj - bai])
+        # prior on the last frame (mean = its initial state => delta = xi)
+        r_prior = prior_L @ x[:15]
+        return jnp.concatenate([r_vis, r_imu, r_bias, r_prior])
+
+    x = jnp.zeros(30)
+    active = valid.astype(jnp.float32)
+    for rnd in range(rounds):
+        _si, (Rj, pj, _v, _bg, _ba) = unpack(x)
+        chi2 = edge_chi2(*visual_residuals(Rj, pj))
+        w_huber = robust_w(chi2, active)
+        fn = lambda xx: residual_fn(xx, w_huber)  # noqa: E731
+        x = _dense_lm(fn, x, iters=iters)
+        _si, (Rj, pj, _v, _bg, _ba) = unpack(x)
+        chi2 = edge_chi2(*visual_residuals(Rj, pj))
+        thresh = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+        active = (valid & (chi2 <= thresh)).astype(jnp.float32)
+
+    _si, (Rj, pj, vj, bgj, baj) = unpack(x)
+    Rj = lie.normalize_rotation(Rj)
+    inl = valid & (edge_chi2(*visual_residuals(Rj, pj)) <= jnp.where(
+        is_stereo, CHI2_STEREO, CHI2_MONO))
+    # marginalize the last frame: H_jj - H_ji H_ii^-1 H_ij
+    J = jax.jacfwd(lambda xx: residual_fn(xx, robust_w(
+        edge_chi2(*visual_residuals(Rj, pj)), active)))(x)
+    H = J.T @ J
+    H_ii = H[:15, :15] + 1e-6 * jnp.eye(15)
+    H_ij = H[:15, 15:]
+    H_jj = H[15:, 15:]
+    Hm = H_jj - H_ij.T @ jnp.linalg.solve(H_ii, H_ij)
+    return PoseInertialFrameResult(Rj, pj, vj, bgj, baj, inl,
+                                   jnp.sum(inl.astype(jnp.int32)),
+                                   0.5 * (Hm + Hm.T))
 
 
 # --------------------------------------------------------------------------

@@ -3,15 +3,30 @@
 The reference consumes fixed weights (`weights/xfeat.pt`, missing from the
 snapshot — /root/reference/.MISSING_LARGE_BLOBS); this module makes weight
 (re)derivation a first-class capability of the framework: a jittable,
-mesh-sharded training step with a shift-equivariance objective:
+mesh-sharded training step with TRUE cross-view supervision over rendered
+view pairs with known geometry (the role the upstream training corpus of
+warped MegaDepth/COCO pairs plays for xfeat.pt):
 
-  * descriptor InfoNCE: dense descriptors of an image and its shifted copy
-    must match at corresponding cells (shift = multiple of 8 px = integer
-    feature cells, so correspondence is exact);
-  * keypoint-head BCE against local-contrast pseudo-labels (the analytic
-    detector of models/xfeat.init_params serves as teacher until real
-    supervision lands);
-  * reliability regression toward descriptor-agreement.
+  * descriptor InfoNCE at ground-truth correspondences: cell descriptors of
+    view A must match the bilinearly-sampled descriptor of view B at the
+    depth-projected location, against all of B's cells as negatives
+    (neighboring cells of the true match are excluded from the negative
+    set);
+  * keypoint-head cross-view contrast teacher: the per-cell positional
+    target is the within-cell local contrast AVERAGED between view A and
+    view B warped back through the ground-truth correspondence — peaks that
+    persist across views are reinforced, view-dependent contrast (specular,
+    occlusion boundaries) is damped. The 1x1-conv keypoint head sees ONLY
+    its own 8x8 cell's pixels, so within-cell contrast is supervision the
+    head can actually reach (peaked cross-cell teachers measurably fail on
+    this architecture);
+  * reliability regression toward cross-view descriptor agreement (0 where
+    the correspondence is invalid: occluded/out-of-view content is
+    unmatchable by construction).
+
+Batches are dicts of (img_a, img_b, corr_px, px_valid) produced by
+tools/train_xfeat.py's renderer (corr_px: dense A->B pixel map from depth;
+px_valid includes an occlusion check against B's depth).
 
 Sharding: batch over the mesh 'data' axis (gradients all-reduce over ICI),
 wide layers (block5, fusion, fine matcher) tensor-sharded over 'model'.
@@ -28,6 +43,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import xfeat
+from ..ops import image as image_ops
 
 
 def param_shardings(mesh: Mesh, params):
@@ -53,116 +69,117 @@ def param_shardings(mesh: Mesh, params):
     return jax.tree_util.tree_unflatten(treedef, shardings)
 
 
-def _shift_cells(x, cells: int):
-    """Shift an NHWC image by `cells` feature cells (8 px) along W."""
-    return jnp.roll(x, shift=cells * 8, axis=2)
+def identity_pair_batch(images):
+    """Degenerate training batch where view B == view A (identity
+    correspondence) — used by the driver dryrun and shape tests."""
+    B, H, W, _ = images.shape
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    corr = jnp.stack(jnp.meshgrid(xs, ys), axis=-1)  # (H,W,2) x,y
+    return {
+        "img_a": images,
+        "img_b": images,
+        "corr_px": jnp.broadcast_to(corr, (B, H, W, 2)),
+        "px_valid": jnp.ones((B, H, W), bool),
+    }
 
 
-def _conv2(img, k):
-    """Depthless 2D conv of an (B,H,W,1) image with a (kh,kw) kernel."""
-    return jax.lax.conv_general_dilated(
-        img, k[..., None, None], (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+def _contrast_map(x_gray):
+    """(B,H,W,1) instance-normed gray -> per-pixel within-cell contrast
+    (pixel minus its 8x8 cell's mean) — the analytic signal the 1x1-conv
+    keypoint head can express (it sees exactly one unfolded cell)."""
+    m = jax.lax.reduce_window(
+        x_gray, 0.0, jax.lax.add, (1, 8, 8, 1), (1, 8, 8, 1), "VALID"
+    ) / 64.0
+    m_full = jnp.repeat(jnp.repeat(m, 8, axis=1), 8, axis=2)
+    return x_gray - m_full
+
+
+def _norm(f):
+    return f * jax.lax.rsqrt(jnp.sum(f * f, -1, keepdims=True) + 1e-8)
+
+
+def loss_fn(params, batch, temp: float = 0.1, teacher_gain: float = 5.0):
+    """Cross-view self-supervised loss over a pair batch (see module doc)."""
+    img_a = batch["img_a"]
+    img_b = batch["img_b"]
+    corr_px = batch["corr_px"]  # (B,H,W,2) A-pixel -> B-pixel
+    px_valid = batch["px_valid"]  # (B,H,W)
+    B, H, W, _ = img_a.shape
+    H8, W8 = H // 8, W // 8
+
+    feats_a, logits_a, heat_a = xfeat.forward(params, img_a)
+    feats_b, _, _ = xfeat.forward(params, img_b)
+
+    # ---- descriptor InfoNCE at ground-truth correspondences -------------
+    # A's cell centers in full-res pixels, their correspondence in B
+    cx = (jnp.arange(W8, dtype=jnp.float32) * 8.0 + 3.5)
+    cy = (jnp.arange(H8, dtype=jnp.float32) * 8.0 + 3.5)
+    centers = jnp.stack(jnp.meshgrid(cx, cy), axis=-1).reshape(1, -1, 2)
+    centers = jnp.broadcast_to(centers, (B, H8 * W8, 2))
+    corr_at_c = image_ops.sample_bilinear(corr_px, centers, (H, W))  # (B,N,2)
+    valid_at_c = image_ops.sample_bilinear(
+        px_valid[..., None].astype(jnp.float32), centers, (H, W)
+    )[..., 0] > 0.99
+    # also require the corresponding point to be inside B
+    valid_at_c &= ((corr_at_c[..., 0] >= 4.0) & (corr_at_c[..., 0] < W - 4.0)
+                   & (corr_at_c[..., 1] >= 4.0) & (corr_at_c[..., 1] < H - 4.0))
+
+    fa = _norm(feats_a).reshape(B, H8 * W8, -1)
+    fb_grid = _norm(feats_b).reshape(B, H8 * W8, -1)
+    fb_pos = _norm(image_ops.sample_bilinear(_norm(feats_b), corr_at_c, (H, W)))
+
+    sim_pos = jnp.sum(fa * fb_pos, -1) / temp  # (B,N)
+    sim_neg = jnp.einsum("bnd,bmd->bnm", fa, fb_grid) / temp  # (B,N,M)
+    # exclude B-cells within 1.5 cells of the true correspondence from the
+    # negative set (they share most of their receptive field with the match)
+    bx = (corr_at_c[..., 0] - 3.5) / 8.0  # feature-grid coords of the match
+    by = (corr_at_c[..., 1] - 3.5) / 8.0
+    gx = jnp.arange(W8, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(H8, dtype=jnp.float32)[None, None, :]
+    near_x = jnp.abs(gx - bx[..., None]) <= 1.5  # (B,N,W8)
+    near_y = jnp.abs(gy - by[..., None]) <= 1.5  # (B,N,H8)
+    near = (near_y[..., :, None] & near_x[..., None, :]).reshape(
+        B, H8 * W8, H8 * W8)
+    sim_neg = jnp.where(near, -jnp.inf, sim_neg)
+    denom = jnp.logaddexp(
+        sim_pos, jax.nn.logsumexp(sim_neg, axis=-1)
     )
+    nce_rows = denom - sim_pos  # -log p(positive)
+    w = valid_at_c.astype(jnp.float32)
+    nce = jnp.sum(nce_rows * w) / jnp.maximum(jnp.sum(w), 1.0)
 
+    # ---- keypoint head: cross-view contrast teacher ---------------------
+    def gray_norm(img):
+        g = jnp.mean(img, -1, keepdims=True)
+        return xfeat.instance_norm(g)
 
-def shi_tomasi_response(x_gray):
-    """(B,H,W,1) grayscale -> (B,H,W,1) min-eigenvalue corner response
-    (Shi-Tomasi): Sobel gradients, 5x5 structure tensor, min eigenvalue.
-    The analytic corner localizer used as the peaked keypoint teacher."""
-    kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32) / 8.0
-    Ix = _conv2(x_gray, kx)
-    Iy = _conv2(x_gray, kx.T)
-    box = jnp.ones((5, 5), jnp.float32) / 25.0
-    Sxx = _conv2(Ix * Ix, box)
-    Syy = _conv2(Iy * Iy, box)
-    Sxy = _conv2(Ix * Iy, box)
-    tr = Sxx + Syy
-    disc = jnp.sqrt(jnp.maximum((Sxx - Syy) ** 2 + 4.0 * Sxy ** 2, 0.0))
-    return 0.5 * (tr - disc)
+    xa = gray_norm(img_a)
+    xb = gray_norm(img_b)
+    c_a = _contrast_map(xa)  # (B,H,W,1)
+    c_b = _contrast_map(xb)
+    # B's contrast warped back to A's pixel grid through the GT map
+    flat_corr = corr_px.reshape(B, H * W, 2)
+    c_b_in_a = image_ops.sample_bilinear(c_b, flat_corr, (H, W)).reshape(
+        B, H, W, 1)
+    vw = px_valid[..., None].astype(jnp.float32)
+    combined = vw * 0.5 * (c_a + c_b_in_a) + (1.0 - vw) * c_a
+    cells = xfeat.unfold2d(combined, 8)  # (B,H8,W8,64)
+    teacher = jax.nn.softmax(
+        jnp.concatenate(
+            [teacher_gain * cells, jnp.zeros_like(cells[..., :1])], -1
+        ),
+        axis=-1,
+    )
+    kp_loss = optax.softmax_cross_entropy(logits_a, teacher).mean()
 
-
-def loss_fn(params, images, shift_cells: int = 2, temp: float = 0.1,
-            kp_teacher: str = "contrast"):
-    """Self-supervised loss over a batch (B,H,W,1) float.
-
-    kp_teacher selects the keypoint-head objective:
-      * "contrast" (default, matches the shipped weights): graded softmax
-        over the within-cell local contrast. The 1x1-conv keypoint head
-        sees ONLY its own 8x8 cell's pixels, and contrast is exactly
-        computable from them — supervision the head can reach. Sub-pixel
-        localization comes from the soft-argmax at selection time
-        (ops/detect.py select_keypoints subpixel=True): measured
-        rep@1px 0.34 / loc-err 1.25 px on the rendered benchmark
-        (tools/eval_repeatability.py).
-      * "corner": peaked Shi-Tomasi distillation (positional CE on corner
-        cells + class-balanced detection CE). Measured WORSE end to end
-        (rep@2px 0.19 vs 0.57): the structure tensor crosses cell borders,
-        which the per-cell head cannot see, so the reachable projection of
-        the corner teacher is noise — kept for experimentation with wider
-        heads, not for the stock architecture.
-    """
-    feats_a, logits_a, heat_a = xfeat.forward(params, images)
-    images_b = _shift_cells(images, shift_cells)
-    feats_b, _, _ = xfeat.forward(params, images_b)
-
-    # corresponding cells: feats_b shifted back aligns with feats_a
-    feats_b_al = jnp.roll(feats_b, shift=-shift_cells, axis=2)
-    B, H8, W8, D = feats_a.shape
-
-    def norm(f):
-        return f * jax.lax.rsqrt(jnp.sum(f * f, -1, keepdims=True) + 1e-8)
-
-    fa = norm(feats_a).reshape(B, H8 * W8, D)
-    fb = norm(feats_b_al).reshape(B, H8 * W8, D)
-    # InfoNCE per row over a subsampled set of cells (keep matmul small)
-    idx = jnp.arange(0, H8 * W8, 7)
-    fa_s, fb_s = fa[:, idx], fb[:, idx]
-    sim = jnp.einsum("bnd,bmd->bnm", fa_s, fb_s) / temp
-    labels = jnp.arange(fa_s.shape[1])
-    nce = optax.softmax_cross_entropy_with_integer_labels(
-        sim, jnp.broadcast_to(labels, sim.shape[:2])
-    ).mean()
-
-    x_gray = jnp.mean(images, -1, keepdims=True)
-    x_n = xfeat.instance_norm(x_gray)
-    if kp_teacher == "contrast":
-        cells = xfeat.unfold2d(x_n, 8)  # (B,H8,W8,64)
-        contrast = cells - jnp.mean(cells, -1, keepdims=True)
-        teacher = jax.nn.softmax(
-            jnp.concatenate(
-                [5.0 * contrast, jnp.zeros_like(contrast[..., :1])], -1
-            ),
-            axis=-1,
-        )
-        kp_loss = optax.softmax_cross_entropy(logits_a, teacher).mean()
-    else:  # "corner": peaked Shi-Tomasi distillation (see docstring)
-        resp = shi_tomasi_response(x_n)
-        cells = xfeat.unfold2d(resp, 8)  # (B,H8,W8,64)
-        max_r = jnp.max(cells, -1)
-        B_ = max_r.shape[0]
-        q90 = jnp.quantile(max_r.reshape(B_, -1), 0.9, axis=1)[:, None, None]
-        is_kp = (max_r > 0.25 * q90).astype(jnp.float32)
-        kp_frac = jnp.mean(is_kp) + 1e-6
-        # positional: sharp softmax over the cell's response, corner cells
-        # only (never swamped by dustbin cells)
-        pos_t = jax.nn.softmax(8.0 * cells / (q90[..., None] + 1e-6),
-                               axis=-1)
-        pos_ce = optax.softmax_cross_entropy(logits_a[..., :64], pos_t)
-        pos_loss = jnp.sum(pos_ce * is_kp) / jnp.sum(is_kp + 1e-6)
-        # detection: class-balanced corner-vs-dustbin
-        p = jax.nn.softmax(logits_a, axis=-1)
-        p_kp = jnp.clip(1.0 - p[..., 64], 1e-6, 1.0 - 1e-6)
-        det_ce = -(is_kp * jnp.log(p_kp)
-                   + (1.0 - is_kp) * jnp.log(1.0 - p_kp))
-        w = is_kp * (0.5 / kp_frac) + (1.0 - is_kp) * (0.5 / (1.0 - kp_frac))
-        kp_loss = pos_loss + jnp.mean(det_ce * w)
-
-    # reliability: predict descriptor agreement of the two views
+    # ---- reliability: cross-view descriptor agreement -------------------
     agree = jax.lax.stop_gradient(
-        jnp.sum(norm(feats_a) * norm(feats_b_al), -1, keepdims=True) * 0.5 + 0.5
+        jnp.sum(fa * fb_pos, -1) * 0.5 + 0.5
+    ) * valid_at_c.astype(jnp.float32)
+    rel_loss = jnp.mean(
+        (heat_a.reshape(B, H8 * W8) - agree) ** 2
     )
-    rel_loss = jnp.mean((heat_a - agree) ** 2)
 
     return nce + kp_loss + rel_loss, {
         "nce": nce, "kp": kp_loss, "rel": rel_loss
@@ -170,7 +187,9 @@ def loss_fn(params, images, shift_cells: int = 2, temp: float = 0.1,
 
 
 def make_train_step(mesh: Mesh, optimizer=None):
-    """Returns (init_fn, step_fn) with dp/tp shardings baked in."""
+    """Returns (init_fn, step_fn) with dp/tp shardings baked in.
+    step_fn(params, opt_state, batch) with batch a pair dict (see loss_fn);
+    all batch leaves are sharded over the mesh 'data' axis."""
     optimizer = optimizer or optax.adam(1e-3)
     data = NamedSharding(mesh, P("data"))
 
@@ -183,9 +202,9 @@ def make_train_step(mesh: Mesh, optimizer=None):
     # no donation: freshly-initialized params share zero-constant buffers
     # (jnp.zeros dedup), and donating an aliased buffer twice is an error
     @functools.partial(jax.jit, in_shardings=(None, None, data))
-    def step_fn(params, opt_state, images):
+    def step_fn(params, opt_state, batch):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, images
+            params, batch
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -6,9 +6,11 @@ new points with covisible neighbors, fuse duplicates, run local BA, cull
 redundant KFs. Runs synchronously after tracking inserts a KF (design note
 in slam/system.py).
 
-This module currently implements: recent-point culling, neighbor
-triangulation, fuse, and keyframe culling. Local BA is wired in when
-optim/local_ba.py lands (construction order step 6, SURVEY.md §7).
+Implements: recent-point culling, neighbor triangulation with the RGB-D
+parallax-vs-depth rule, 2-hop fuse, budgeted/abortable local BA
+(optim/local_ba.py via tick()), the IMU initialization schedule
+(init -> VIBA1 -> VIBA2 -> mono ScaleRefinement), joint visual-inertial
+window BA (optim/viba.py), and (inertial-aware) keyframe culling.
 """
 
 from __future__ import annotations
@@ -32,6 +34,15 @@ IBA_MAX_KFS = 8  # temporal chain window
 IBA_MAX_KFS_TOTAL = 16  # chain + fixed out-of-window observers
 IBA_MAX_PTS = 2048
 IBA_MAX_OBS = 4096
+# FullInertialBA backstops (whole-chain mode buckets to powers of two up to
+# these; hitting them is LOGGED, never silent)
+FIBA_MAX_PTS = 16384
+FIBA_MAX_OBS = 65536
+
+
+def _bucket(n: int, lo: int) -> int:
+    """Round n up to a power of two >= lo (bounded set of jit signatures)."""
+    return max(lo, 1 << max(0, int(n) - 1).bit_length())
 
 
 class LocalMapping:
@@ -346,7 +357,7 @@ class LocalMapping:
         p_wb = np.zeros((K_pad, 3), np.float32)
         for i, k in enumerate(chain):
             kf = m.keyframes[k]
-            from .tracking import np_cam_to_body
+            from ..optim.inertial import np_cam_to_body
 
             R_wb[i], p_wb[i] = np_cam_to_body(kf.R, kf.t, cal.R_bc, cal.t_bc)
         E = K_pad - 1
@@ -431,40 +442,39 @@ class LocalMapping:
         # scale/gravity fit alone leaves percent-level inconsistency that
         # otherwise diverges the per-frame visual-inertial tracking
         if fiba:
-            self._local_inertial_ba(chain[-1], window=IBA_MAX_KFS_TOTAL,
-                                    fix_anchor=False)
+            self._local_inertial_ba(chain[-1], fix_anchor=False,
+                                    full_chain=True)
         return True
 
     # -- LocalInertialBA (/root/reference/src/Optimizer.cc:2383) ------------
 
     def _local_inertial_ba(self, kid: int, window: int = IBA_MAX_KFS,
-                           fix_anchor: bool = True):
+                           fix_anchor: bool = True,
+                           full_chain: bool = False):
         """Joint visual-inertial window BA (optim/viba.py): the temporal
         chain's body states AND the window landmarks in one solve, plus
         fixed out-of-window observer states — the reference's
         LocalInertialBA structure. (An alternating landmarks-fixed scheme
         provably diverges when the map scale disagrees with the IMU.)
 
-        With window=IBA_MAX_KFS_TOTAL and fix_anchor=False this doubles as
-        FullInertialBA (/root/reference/src/Optimizer.cc:392): all states
-        free (gravity pins roll/pitch + scale; the translation/yaw gauge is
-        handled by LM damping), run right after IMU initialization to pull
-        the whole chain — including mono scale drift — onto the IMU."""
+        full_chain=True (+ fix_anchor=False) is FullInertialBA
+        (/root/reference/src/Optimizer.cc:392-737): EVERY chain keyframe's
+        state is free — the reference frees the whole map, and so does this
+        path (power-of-two state buckets; landmarks/observations bucket up
+        to FIBA_MAX_* with the cap LOGGED). Gravity pins roll/pitch + scale;
+        the translation/yaw gauge is handled by LM damping. Run right after
+        IMU initialization to pull the whole chain — including mono scale
+        drift in the oldest section — onto the IMU."""
         import jax.numpy as jnp
 
         from ..optim import viba
-        from .tracking import np_body_to_cam, np_cam_to_body
+        from ..optim.inertial import np_body_to_cam, np_cam_to_body
+        from ..utils import verbose
 
         m = self.map
         cal = self.imu_calib
-        full_chain = self._kf_chain(kid)
-        if window < len(full_chain) and window == IBA_MAX_KFS_TOTAL:
-            from ..utils import verbose
-
-            verbose.print_mess(
-                f"FullInertialBA windowed to last {window} of "
-                f"{len(full_chain)} KFs", verbose.Level.VERBOSE)
-        chain = full_chain[-window:]
+        whole = self._kf_chain(kid)
+        chain = whole if full_chain else whole[-window:]
         T = len(chain)
         if T < 3:
             return
@@ -473,33 +483,43 @@ class LocalMapping:
             return
         b0g, b0a = kfs[0].bg, kfs[0].ba
 
+        max_pts = FIBA_MAX_PTS if full_chain else IBA_MAX_PTS
+        max_obs = FIBA_MAX_OBS if full_chain else IBA_MAX_OBS
         # landmarks observed by the window
         pt_ids: List[int] = []
         seen = set()
+        n_seen = 0
         for kf in kfs:
             for mp in kf.mp_ids[kf.mp_ids >= 0]:
                 mp = int(mp)
                 if mp not in seen and m.points.alive[mp]:
                     seen.add(mp)
-                    pt_ids.append(mp)
-        pt_ids = pt_ids[:IBA_MAX_PTS]
+                    n_seen += 1
+                    if len(pt_ids) < max_pts:
+                        pt_ids.append(mp)
+        if n_seen > len(pt_ids):
+            verbose.print_mess(
+                f"{'FullInertialBA' if full_chain else 'LocalInertialBA'}: "
+                f"point cap hit — optimizing {len(pt_ids)} of {n_seen} "
+                "landmarks", verbose.Level.NORMAL)
         pt_index = {mp: i for i, mp in enumerate(pt_ids)}
         if len(pt_ids) < 20:
             return
-        # fixed observers outside the window
+        # fixed observers outside the window (none in full-chain mode: the
+        # chain IS the whole inertial map)
         chain_set = set(chain)
         fixed_ids: List[int] = []
-        for mp in pt_ids:
-            for k in m.obs.get(mp, {}):
-                if k not in chain_set and k not in fixed_ids:
-                    fixed_ids.append(k)
-                    if T + len(fixed_ids) >= IBA_MAX_KFS_TOTAL:
-                        break
-            if T + len(fixed_ids) >= IBA_MAX_KFS_TOTAL:
-                break
+        if not full_chain:
+            for mp in pt_ids:
+                for k in m.obs.get(mp, {}):
+                    if (k not in chain_set and k not in fixed_ids
+                            and T + len(fixed_ids) < IBA_MAX_KFS_TOTAL):
+                        fixed_ids.append(k)
+                if T + len(fixed_ids) >= IBA_MAX_KFS_TOTAL:
+                    break
         cam_ids = chain + fixed_ids
         cam_index = {k: i for i, k in enumerate(cam_ids)}
-        Kp = IBA_MAX_KFS_TOTAL
+        Kp = _bucket(len(cam_ids), lo=8) if full_chain else IBA_MAX_KFS_TOTAL
 
         R_wb = np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))
         p_wb = np.zeros((Kp, 3), np.float32)
@@ -553,10 +573,14 @@ class LocalMapping:
 
         obs_cam, obs_pt, uv, ur, stereo, s2 = [], [], [], [], [], []
         obs_ref = []
+        dropped_obs = 0
         for mp in pt_ids:
             for k, slot in m.obs.get(mp, {}).items():
                 ci = cam_index.get(k)
                 if ci is None:
+                    continue
+                if len(obs_cam) >= max_obs:
+                    dropped_obs += 1
                     continue
                 kf = m.keyframes[k]
                 obs_cam.append(ci)
@@ -567,10 +591,12 @@ class LocalMapping:
                 stereo.append(r > 0)
                 s2.append(m.scale_factor ** (2.0 * int(kf.octave[slot])))
                 obs_ref.append((mp, k))
-                if len(obs_cam) >= IBA_MAX_OBS:
-                    break
-            if len(obs_cam) >= IBA_MAX_OBS:
-                break
+        if dropped_obs:
+            verbose.print_mess(
+                f"{'FullInertialBA' if full_chain else 'LocalInertialBA'}: "
+                f"obs cap hit — dropped {dropped_obs} of "
+                f"{dropped_obs + len(obs_cam)} observations",
+                verbose.Level.NORMAL)
         n_obs = len(obs_cam)
         if n_obs < 20:
             return
@@ -581,20 +607,24 @@ class LocalMapping:
             out[: len(a)] = a
             return out
 
+        # padded problem sizes: fixed window constants keep the local solve
+        # on one compiled graph; full-chain mode buckets to powers of two
+        P_pad = _bucket(len(pt_ids), lo=2048) if full_chain else IBA_MAX_PTS
+        O_pad = _bucket(n_obs, lo=4096) if full_chain else IBA_MAX_OBS
         prob = viba.VIBAProblem(
             R_wb=jnp.asarray(R_wb), p_wb=jnp.asarray(p_wb),
             v_w=jnp.asarray(v_w), bg=jnp.asarray(bg), ba=jnp.asarray(ba),
             fixed=jnp.asarray(fixed), state_valid=jnp.asarray(state_valid),
-            X=jnp.asarray(pad(m.points.pos[pt_ids], IBA_MAX_PTS)),
+            X=jnp.asarray(pad(m.points.pos[pt_ids], P_pad)),
             p_valid=jnp.asarray(pad(np.ones(len(pt_ids), bool),
-                                    IBA_MAX_PTS, False)),
-            obs_cam=jnp.asarray(pad(obs_cam, IBA_MAX_OBS, 0, np.int32)),
-            obs_pt=jnp.asarray(pad(obs_pt, IBA_MAX_OBS, 0, np.int32)),
-            uv=jnp.asarray(pad(uv, IBA_MAX_OBS, 0.0, np.float32)),
-            ur=jnp.asarray(pad(ur, IBA_MAX_OBS, 0.0, np.float32)),
-            stereo=jnp.asarray(pad(stereo, IBA_MAX_OBS, False)),
-            valid=jnp.asarray(pad(np.ones(n_obs, bool), IBA_MAX_OBS, False)),
-            inv_sigma2=jnp.asarray(1.0 / pad(s2, IBA_MAX_OBS, 1.0, np.float32)),
+                                    P_pad, False)),
+            obs_cam=jnp.asarray(pad(obs_cam, O_pad, 0, np.int32)),
+            obs_pt=jnp.asarray(pad(obs_pt, O_pad, 0, np.int32)),
+            uv=jnp.asarray(pad(uv, O_pad, 0.0, np.float32)),
+            ur=jnp.asarray(pad(ur, O_pad, 0.0, np.float32)),
+            stereo=jnp.asarray(pad(stereo, O_pad, False)),
+            valid=jnp.asarray(pad(np.ones(n_obs, bool), O_pad, False)),
+            inv_sigma2=jnp.asarray(1.0 / pad(s2, O_pad, 1.0, np.float32)),
             dts=jnp.asarray(dts), dR=jnp.asarray(dR), dV=jnp.asarray(dV),
             dP=jnp.asarray(dP),
             JRg=jnp.asarray(J["JRg"]), JVg=jnp.asarray(J["JVg"]),
@@ -603,10 +633,15 @@ class LocalMapping:
             L9=jnp.asarray(L9), Lb=jnp.asarray(Lb),
             e_valid=jnp.asarray(e_valid),
         )
+        # the whole-chain solve moves much further (percent-level scale into
+        # the oldest section) — give it a bigger LM/PCG budget; it runs only
+        # at IMU-initialization events
+        solve_kw = (dict(stage_iters=(8, 24), cg_iters=80) if full_chain
+                    else {})
         res = viba.local_inertial_ba(prob, self.cam,
                                      jnp.asarray(cal.R_bc),
                                      jnp.asarray(cal.t_bc),
-                                     jnp.float32(self.bf))
+                                     jnp.float32(self.bf), **solve_kw)
         R_o = np.asarray(res.R_wb)
         p_o = np.asarray(res.p_wb)
         v_o = np.asarray(res.v_w)

@@ -81,6 +81,14 @@ class LoopClosing:
         self.welding_iba = None
         # temporal consistency: (candidate covisibility group, count, stamp)
         self._consistent: List[Tuple[set, int, int]] = []
+        # budgeted GBA (the reference's detached abortable GBA thread,
+        # LoopClosing.cc:1199-1207/2268-2511, re-designed as per-frame
+        # ticks): >0 = after the inline robust stage, this many extra
+        # rounds of gba_round_iters LM iterations run one per frame via
+        # tick(), then apply with spanning propagation; 0 = fully inline
+        self.gba_budget_rounds = 0
+        self.gba_round_iters = 5
+        self._gba_session = None
 
     # ------------------------------------------------------------------ main
 
@@ -240,7 +248,11 @@ class LoopClosing:
             if kf is None:
                 continue
             mps.extend(int(x) for x in kf.mp_ids[kf.mp_ids >= 0])
-        mps = [p for p in dict.fromkeys(mps) if m.points.alive[p]][:4096]
+        mps = [p for p in dict.fromkeys(mps) if m.points.alive[p]]
+        if len(mps) > 4096:
+            print_mess(f"Sim3-guided projection cap hit: 4096 of "
+                       f"{len(mps)} loop-window points", Level.VERBOSE)
+            mps = mps[:4096]
         if not mps:
             return 0
         kf2 = m.keyframes[ckid]
@@ -282,6 +294,9 @@ class LoopClosing:
         m = self.map
         kf1 = m.keyframes[kid]
         kf2 = m.keyframes[ckid]
+        # a new confirmed loop supersedes any in-flight budgeted GBA
+        # (mbStopGBA, /root/reference/src/LoopClosing.cc:1199-1207)
+        self._gba_session = None
 
         # corrected Sim3 for the current KF (world->cam1)
         s2, R2, t2 = 1.0, kf2.R, kf2.t
@@ -501,11 +516,70 @@ class LoopClosing:
         problem size, so there is no camera cap); points/observations are
         padded to power-of-two buckets. The huge ``max_pts``/``max_obs``
         backstops exist only to bound device memory — hitting them is LOGGED,
-        never silent, and drops the most-observed points last."""
+        never silent, and drops the most-observed points last.
+
+        With ``gba_budget_rounds > 0`` this is the reference's detached
+        abortable GBA thread re-designed: the robust first stage runs now,
+        the remaining LM rounds run one per frame via tick(), and the final
+        apply propagates corrections to keyframes/points created meanwhile
+        through the spanning tree (LoopClosing.cc:2369-2511)."""
+        built = self._build_gba(max_pts, max_obs)
+        if built is None:
+            return
+        prob, index, pt_ids, fixed, n_obs = built
+        if self.gba_budget_rounds > 0:
+            res = ba_mod.bundle_adjust(prob, self.cam, jnp.float32(self.bf),
+                                       stage_iters=(10, 0))
+            prob = prob._replace(R=res.R, t=res.t, X=res.X)
+            self._gba_session = (prob, index, pt_ids, fixed,
+                                 self.gba_budget_rounds, self.map,
+                                 self.map.geometry_epoch)
+            return
+        res = ba_mod.bundle_adjust(prob, self.cam, jnp.float32(self.bf),
+                                   stage_iters=(10, 10))
+        self._apply_gba(res, index, pt_ids, fixed)
+
+    def tick(self):
+        """Advance the in-flight budgeted GBA session by one LM round
+        (called by System every frame; the synchronous re-design of the
+        reference's background GBA thread). The session aborts when the map
+        identity or its geometry epoch changed (merge / IMU-init rescale) —
+        the captured problem would undo the transform — and when a new loop
+        correction starts (mbStopGBA, LoopClosing.cc:1199-1207)."""
+        s = self._gba_session
+        if s is None:
+            return
+        prob, index, pt_ids, fixed, rounds_left, smap, epoch = s
+        if smap is not self.map or self.map.geometry_epoch != epoch:
+            self._gba_session = None
+            return
+        res = ba_mod.bundle_adjust(prob, self.cam, jnp.float32(self.bf),
+                                   stage_iters=(0, self.gba_round_iters))
+        rounds_left -= 1
+        if rounds_left <= 0:
+            self._apply_gba(res, index, pt_ids, fixed, propagate=True)
+            self._gba_session = None
+        else:
+            self._gba_session = (
+                prob._replace(R=res.R, t=res.t, X=res.X), index, pt_ids,
+                fixed, rounds_left, smap, epoch,
+            )
+
+    def flush(self):
+        """Finish any in-flight budgeted GBA (System shutdown waits for the
+        GBA thread in the reference, System.cc:~SaveTrajectory paths)."""
+        guard = 0
+        while self._gba_session is not None and guard < 64:
+            self.tick()
+            guard += 1
+
+    def _build_gba(self, max_pts: int, max_obs: int):
+        """Assemble the padded whole-map BA problem. Returns
+        (prob, index, pt_ids, fixed, n_obs) or None."""
         m = self.map
         kids = sorted(m.keyframes)
         if len(kids) < 2:
-            return
+            return None
         index = {k: i for i, k in enumerate(kids)}
         pt_ids = [mp for mp in m.obs if m.points.alive[mp]]
         if len(pt_ids) > max_pts:
@@ -539,7 +613,7 @@ class LoopClosing:
                        Level.NORMAL)
         n_obs = len(obs_cam)
         if n_obs < 50:
-            return
+            return None
 
         def pad(a, n, fill=0, dtype=None):
             a = np.asarray(a, dtype)
@@ -573,15 +647,81 @@ class LoopClosing:
             valid=jnp.asarray(pad(np.ones(n_obs, bool), max_obs, False)),
             inv_sigma2=jnp.ones(max_obs, jnp.float32),
         )
-        res = ba_mod.bundle_adjust(prob, self.cam, jnp.float32(self.bf),
-                                   stage_iters=(10, 10))
+        return prob, index, pt_ids, fixed, n_obs
+
+    def _apply_gba(self, res, index, pt_ids, fixed, propagate: bool = False):
+        """Write GBA results back. With propagate=True (the budgeted path's
+        final tick), keyframes and map points created AFTER the problem was
+        captured are corrected through the spanning tree / their
+        first-observing keyframe — RunGlobalBundleAdjustment's catch-up
+        (/root/reference/src/LoopClosing.cc:2369-2511)."""
+        import jax
+
+        m = self.map
+        res = jax.device_get(res)
         R1, t1, X1 = np.asarray(res.R), np.asarray(res.t), np.asarray(res.X)
+        if not propagate:
+            for k, i in index.items():
+                if not fixed[i]:
+                    kf = m.keyframes[k]
+                    kf.R = lie.np_normalize_rotation(R1[i])
+                    kf.t = t1[i]
+            m.points.pos[pt_ids] = X1[: len(pt_ids)]
+            m.change_index += 1
+            return
+        # pre-apply ("BefGBA") poses of every current keyframe
+        cur = {k: (kf.R.copy(), kf.t.copy()) for k, kf in m.keyframes.items()}
+        new_pose = {}
         for k, i in index.items():
-            if not fixed[i]:
-                kf = m.keyframes[k]
-                kf.R = lie.np_normalize_rotation(R1[i])
-                kf.t = t1[i]
-        m.points.pos[pt_ids] = X1[: len(pt_ids)]
+            if k not in m.keyframes:
+                continue  # culled during the session
+            new_pose[k] = (cur[k] if fixed[i]
+                           else (lie.np_normalize_rotation(R1[i]), t1[i]))
+        # keyframes created during the session: T_new = T_rel * T_anc_new
+        # where T_rel = T_cur * T_anc_cur^-1 over the spanning tree
+        for k in sorted(m.keyframes):
+            if k in new_pose:
+                continue
+            chain = [k]
+            anc = m.keyframes[k].parent
+            hops = 0
+            while (anc >= 0 and anc in m.keyframes and anc not in new_pose
+                   and hops < 1000):
+                chain.append(anc)
+                anc = m.keyframes[anc].parent
+                hops += 1
+            if anc not in new_pose:
+                continue  # detached from the optimized graph: leave as-is
+            for kk in reversed(chain):
+                Rk, tk = cur[kk]
+                p = m.keyframes[kk].parent
+                Rp, tp = cur[p]
+                Rn, tn = new_pose[p]
+                R_rel = Rk @ Rp.T
+                t_rel = tk - R_rel @ tp
+                new_pose[kk] = (lie.np_normalize_rotation(R_rel @ Rn),
+                                (R_rel @ tn + t_rel).astype(np.float32))
+        # points optimized by the session take their GBA positions; points
+        # created meanwhile ride their first-observing KF's correction
+        in_gba = set(pt_ids)
+        pt_arr = np.asarray(pt_ids)
+        alive_mask = m.points.alive[pt_arr]
+        m.points.pos[pt_arr[alive_mask]] = X1[: len(pt_ids)][alive_mask]
+        for mp, obs in m.obs.items():
+            if mp in in_gba or not m.points.alive[mp] or not obs:
+                continue
+            ref_k = min(obs)
+            if ref_k not in new_pose or ref_k not in cur:
+                continue
+            R_o, t_o = cur[ref_k]
+            R_n, t_n = new_pose[ref_k]
+            Xc = R_o @ m.points.pos[mp] + t_o
+            m.points.pos[mp] = (R_n.T @ (Xc - t_n)).astype(np.float32)
+        for k, (R_n, t_n) in new_pose.items():
+            kf = m.keyframes.get(k)
+            if kf is not None:
+                kf.R = R_n
+                kf.t = np.asarray(t_n, np.float32)
         m.change_index += 1
 
     # ---------------------------------------------------------- map merging

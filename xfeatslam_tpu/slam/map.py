@@ -179,6 +179,10 @@ class SlamMap:
         self.on_kf_removed = None
         self.kf_origin: Optional[int] = None
         self.change_index = 0
+        # bumped ONLY by whole-map frame changes (IMU-init rescale/rotation,
+        # merges) — in-flight budgeted GBA sessions abort on mismatch, while
+        # ordinary local-BA motion is absorbed by spanning propagation
+        self.geometry_epoch = 0
         # inertial init schedule flags (Map.h mbImuInitialized/mbIMU_BA1/2)
         self.imu_initialized = False
         self.imu_ba1 = False
@@ -208,6 +212,7 @@ class SlamMap:
         self.points.dmin[alive] *= s
         self.points.dmax[alive] *= s
         self.change_index += 1
+        self.geometry_epoch += 1
 
     # -- keyframes ---------------------------------------------------------
 

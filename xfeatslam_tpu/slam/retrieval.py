@@ -40,7 +40,8 @@ _ANCHORS: Dict[int, np.ndarray] = {}
 
 def _anchors(dim: int) -> np.ndarray:
     """Fixed random unit codebook (seeded — identical across processes so
-    serialized maps stay queryable)."""
+    serialized maps stay queryable). A data-derived codebook can replace it
+    via fit_codebook()/use_codebook()."""
     a = _ANCHORS.get(dim)
     if a is None:
         rng = np.random.default_rng(12345)
@@ -48,6 +49,48 @@ def _anchors(dim: int) -> np.ndarray:
         a /= np.linalg.norm(a, axis=-1, keepdims=True)
         _ANCHORS[dim] = a
     return a
+
+
+def fit_codebook(descs: np.ndarray, n_anchors: int = N_ANCHORS,
+                 iters: int = 12, seed: int = 0) -> np.ndarray:
+    """Spherical k-means codebook fit on local descriptors (the data-derived
+    vocabulary option — role of DBoW2's trained ORB vocabulary,
+    /root/reference/thirdparty/DBoW2). Returns (n_anchors, dim) unit
+    anchors; activate with use_codebook(). On self-similar workloads
+    (repeated office texture) data-derived anchors separate the common-
+    texture pedestal better than random ones."""
+    d = np.asarray(descs, np.float32)
+    d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    rng = np.random.default_rng(seed)
+    C = d[rng.choice(len(d), size=n_anchors, replace=len(d) < n_anchors)]
+    C = C / np.maximum(np.linalg.norm(C, axis=-1, keepdims=True), 1e-9)
+    for _ in range(iters):
+        assign = np.argmax(d @ C.T, axis=-1)
+        for a in range(n_anchors):
+            sel = d[assign == a]
+            if len(sel):
+                C[a] = sel.sum(0)
+        # re-seed empty clusters from the least-well-represented points
+        sims = (d * C[assign]).sum(-1)
+        empties = [a for a in range(n_anchors) if (assign == a).sum() == 0]
+        if empties:
+            worst = np.argsort(sims)[: len(empties)]
+            C[empties] = d[worst]
+        C = C / np.maximum(np.linalg.norm(C, axis=-1, keepdims=True), 1e-9)
+    return C.astype(np.float32)
+
+
+def use_codebook(anchors: Optional[np.ndarray], dim: Optional[int] = None):
+    """Install a codebook for `dim` (anchors.shape[1] when given); pass
+    anchors=None with dim to restore the default random codebook. Global
+    descriptors computed before the switch are incompatible — callers must
+    re-aggregate stored keyframes (System.refit_retrieval_codebook does)."""
+    if anchors is None:
+        _ANCHORS.pop(dim, None)
+    else:
+        a = np.asarray(anchors, np.float32)
+        _ANCHORS[a.shape[1]] = a / np.maximum(
+            np.linalg.norm(a, axis=-1, keepdims=True), 1e-9)
 
 
 def aggregate_global_desc(desc: np.ndarray, valid: np.ndarray) -> np.ndarray:

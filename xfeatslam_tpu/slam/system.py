@@ -119,6 +119,11 @@ class System:
                 fix_scale=(sensor != Sensor.MONOCULAR),
                 atlas=self.atlas,
             )
+            # post-loop GBA runs budgeted under the System (robust stage at
+            # the loop frame, remaining rounds one per frame via tick(),
+            # spanning-propagated apply) — the reference's detached
+            # abortable GBA thread (LoopClosing.cc:1199-1207)
+            self.loop_closing.gba_budget_rounds = 3
         self.tracking = Tracking(
             self.pipeline, self.map, settings.cam, cfg,
             sensor="mono" if sensor in _MONO_LIKE else "rgbd",
@@ -221,11 +226,16 @@ class System:
                 self.loop_closing.process_keyframe(kid)
             ran = True
         if not ran:
-            # no KF this frame: advance the budgeted local-BA session by one
-            # round (the "background thread" time slice)
-            had_session = self.local_mapping._ba_session is not None
-            self.local_mapping.tick()
-            ran = had_session
+            # no KF this frame: advance ONE budgeted backend session by one
+            # round (the "background thread" time slice) — local BA first,
+            # else an in-flight post-loop GBA
+            if self.local_mapping._ba_session is not None:
+                self.local_mapping.tick()
+                ran = True
+            elif (self.loop_closing is not None
+                    and self.loop_closing._gba_session is not None):
+                self.loop_closing.tick()
+                ran = True
         if ran:
             if (self.loop_closing is not None
                     and self.loop_closing.map is not self.map):
@@ -333,6 +343,41 @@ class System:
             for m in self.atlas.all_maps():
                 m.on_kf_removed = self.atlas._dispatch_kf_removed
 
+    def refit_retrieval_codebook(self, max_descs: int = 100000):
+        """Fit a data-derived (spherical k-means) VLAD codebook on the
+        atlas's keyframe descriptors and re-aggregate every stored global
+        descriptor + the retrieval index — the trained-vocabulary option
+        (role of DBoW2's offline ORB vocabulary). Useful on self-similar
+        workloads where the fixed random codebook's cross-scene pedestal
+        rises."""
+        from .retrieval import (aggregate_global_desc, fit_codebook,
+                                global_desc_dim, use_codebook)
+
+        descs = []
+        for m in self.atlas.all_maps():
+            for kf in m.keyframes.values():
+                descs.append(kf.desc[kf.valid])
+        if not descs:
+            return
+        d = np.concatenate(descs)
+        if len(d) > max_descs:
+            sel = np.random.default_rng(0).choice(len(d), max_descs,
+                                                  replace=False)
+            d = d[sel]
+        use_codebook(fit_codebook(d))
+        for m in self.atlas.all_maps():
+            for kf in m.keyframes.values():
+                kf.global_desc = aggregate_global_desc(kf.desc, kf.valid)
+        if self.loop_closing is not None:
+            retr = type(self.loop_closing.retrieval)(
+                dim=global_desc_dim(self.map.desc_dim))
+            for m in self.atlas.all_maps():
+                for kid in sorted(m.keyframes):
+                    retr.add(kid, m.keyframes[kid].global_desc,
+                             map_id=m.map_id)
+            self.loop_closing.retrieval = retr
+            self.tracking.retrieval = retr
+
     def save_trajectory_euroc(self, path: str):
         """All three frame-trajectory savers re-base each frame onto the
         CURRENT pose of its reference keyframe (T_frame = T_rel * T_refKF)
@@ -369,6 +414,8 @@ class System:
         self.timer.dump(path)
 
     def shutdown(self):
+        if self.loop_closing is not None:
+            self.loop_closing.flush()  # finish any in-flight budgeted GBA
         if self.viewer is not None:
             self.viewer.close()
         return {

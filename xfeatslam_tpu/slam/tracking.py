@@ -25,25 +25,9 @@ from ..optim import pose_opt
 from .frame import Frame, FramePipeline
 from .map import KeyFrame, SlamMap
 
+from ..optim.inertial import np_body_to_cam, np_cam_to_body
+
 LOCAL_MP_BUCKET = 4096  # static shape for local-map snapshots
-
-
-def np_cam_to_body(R_cw, t_cw, R_bc, t_bc):
-    """T_cw (world->camera) -> body state (R_wb, p_wb), host numpy."""
-    R_wc = R_cw.T
-    C_w = -R_wc @ t_cw
-    R_wb = R_wc @ R_bc.T
-    p_wb = C_w - R_wb @ t_bc
-    return R_wb.astype(np.float32), p_wb.astype(np.float32)
-
-
-def np_body_to_cam(R_wb, p_wb, R_bc, t_bc):
-    """Body state -> T_cw (world->camera), host numpy."""
-    R_wc = R_wb @ R_bc
-    C_w = p_wb + R_wb @ t_bc
-    R_cw = R_wc.T
-    t_cw = -R_cw @ C_w
-    return R_cw.astype(np.float32), t_cw.astype(np.float32)
 
 
 def resolve_trajectory(traj_rel, active_map, atlas=None):
@@ -160,6 +144,10 @@ class Tracking:
         self.imu_queue: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self._pre_from_kf = None  # Preintegrated: last KF -> last frame
         self._pre_cur = None  # Preintegrated: last KF -> current frame
+        # marginalized last-frame prior (ConstraintPoseImu): (R_wb, p_wb,
+        # v_w, bg, ba, sqrt-info L (15,15), map change_index at creation)
+        self._frame_prior = None
+        self._prior_pending = None
         self.last_kf_id: Optional[int] = None  # most recent created KF
         self.retrieval = retrieval  # shared with LoopClosing (reloc queries)
         self.atlas = atlas  # multi-map recovery (Atlas), optional
@@ -270,6 +258,7 @@ class Tracking:
         if self._check_timestamp_jump(frame):
             self.last_frame = frame
             return self.state, None
+        self._prior_pending = None  # only THIS frame's solve may set it
         if self.imu_calib is not None:
             self._preintegrate(frame)
         if self.state in (State.NO_IMAGES, State.NOT_INITIALIZED):
@@ -362,6 +351,10 @@ class Tracking:
             # roll the from-last-KF accumulation forward (None right after a
             # KF was created from this frame — the accumulator restarts)
             self._pre_from_kf = self._pre_cur
+        # promote this frame's marginalized posterior to be the next
+        # frame's ConstraintPoseImu prior; a failed frame breaks the chain
+        self._frame_prior = (getattr(self, "_prior_pending", None)
+                             if self.state == State.OK else None)
         pose = (frame.R, frame.t) if frame.R is not None else None
         return self.state, pose
 
@@ -499,31 +492,57 @@ class Tracking:
 
     def _pose_optimize_inertial(self, frame: Frame, anchor, Xw, inv_s2,
                                 is_stereo, valid) -> int:
-        """PoseInertialOptimizationLastKeyFrame role
-        (/root/reference/src/Optimizer.cc:4491): joint 15-D body state from
-        reprojection edges plus the inertial edge to the last keyframe."""
+        """PoseInertialOptimization (/root/reference/src/Optimizer.cc:4491,
+        4875): joint 15-D body state from reprojection edges plus an
+        inertial edge. When the map has NOT changed since the previous frame
+        solved, the LastFrame variant runs — the previous frame enters as a
+        free state under its marginalized prior (ConstraintPoseImu) and is
+        Schur-eliminated after, chaining posteriors frame to frame.
+        Otherwise (map updated, no prior) the solve anchors to the last
+        keyframe — the reference's mbMapUpdated switch (Tracking.cc:2948)."""
         from ..optim import inertial as in_opt
 
         kf, R_wb_i, p_wb_i = anchor
         cal = self.imu_calib
-        # re-linearize the accumulated preintegration at the anchor's bias so
-        # the bias-walk edge measures drift from the KF's bias
-        pre = imu_ops.relinearize(
-            jax.tree_util.tree_map(jnp.asarray, self._pre_cur),
-            jnp.asarray(kf.bg), jnp.asarray(kf.ba),
-        )
         R_wb_j, p_wb_j = np_cam_to_body(frame.R, frame.t, cal.R_bc, cal.t_bc)
         v_j = frame.v_w if frame.v_w is not None else kf.vel
-        res = in_opt.pose_inertial_optimization(
-            jnp.asarray(R_wb_j), jnp.asarray(p_wb_j), jnp.asarray(v_j),
-            jnp.asarray(kf.bg), jnp.asarray(kf.ba),
-            jnp.asarray(R_wb_i), jnp.asarray(p_wb_i), jnp.asarray(kf.vel),
-            pre,
-            Xw, jnp.asarray(frame.kpts_un), jnp.asarray(frame.ur),
-            inv_s2, is_stereo, valid,
-            self.cam, jnp.float32(self.pipeline.bf),
-            jnp.asarray(cal.R_bc), jnp.asarray(cal.t_bc),
+        prior = getattr(self, "_frame_prior", None)
+        use_prior = (
+            prior is not None
+            and frame.pre_last is not None
+            and float(frame.pre_last.dt) > 0
+            and self.map.change_index == prior[-1]
         )
+        if use_prior:
+            (Rp, pp, vp, bgp, bap, Lp, _chg) = prior
+            res = in_opt.pose_inertial_optimization_last_frame(
+                jnp.asarray(R_wb_j), jnp.asarray(p_wb_j), jnp.asarray(v_j),
+                jnp.asarray(bgp), jnp.asarray(bap),
+                jnp.asarray(Rp), jnp.asarray(pp), jnp.asarray(vp),
+                jnp.asarray(bgp), jnp.asarray(bap), jnp.asarray(Lp),
+                jax.tree_util.tree_map(jnp.asarray, frame.pre_last),
+                Xw, jnp.asarray(frame.kpts_un), jnp.asarray(frame.ur),
+                inv_s2, is_stereo, valid,
+                self.cam, jnp.float32(self.pipeline.bf),
+                jnp.asarray(cal.R_bc), jnp.asarray(cal.t_bc),
+            )
+        else:
+            # re-linearize the accumulated preintegration at the anchor's
+            # bias so the bias-walk edge measures drift from the KF's bias
+            pre = imu_ops.relinearize(
+                jax.tree_util.tree_map(jnp.asarray, self._pre_cur),
+                jnp.asarray(kf.bg), jnp.asarray(kf.ba),
+            )
+            res = in_opt.pose_inertial_optimization(
+                jnp.asarray(R_wb_j), jnp.asarray(p_wb_j), jnp.asarray(v_j),
+                jnp.asarray(kf.bg), jnp.asarray(kf.ba),
+                jnp.asarray(R_wb_i), jnp.asarray(p_wb_i), jnp.asarray(kf.vel),
+                pre,
+                Xw, jnp.asarray(frame.kpts_un), jnp.asarray(frame.ur),
+                inv_s2, is_stereo, valid,
+                self.cam, jnp.float32(self.pipeline.bf),
+                jnp.asarray(cal.R_bc), jnp.asarray(cal.t_bc),
+            )
         res = jax.device_get(res)
         R_wb = lie.np_normalize_rotation(res.R_wb)
         frame.R, frame.t = np_body_to_cam(
@@ -534,6 +553,20 @@ class Tracking:
         frame.ba = np.asarray(res.ba, np.float32)
         frame.inlier = res.inliers
         frame.mp_ids = np.where(frame.inlier, frame.mp_ids, -1)
+        # stash the solved posterior as the NEXT frame's marginalized prior
+        # (promoted at frame end — a second solve within this frame must
+        # still see the PREVIOUS frame's prior)
+        H = np.asarray(res.H, np.float64)
+        try:
+            L = np.linalg.cholesky(
+                0.5 * (H + H.T) + 1e-4 * np.eye(15)).astype(np.float32)
+            self._prior_pending = (
+                R_wb.copy(), np.asarray(res.p_wb, np.float32),
+                frame.v_w.copy(), frame.bg.copy(), frame.ba.copy(), L,
+                self.map.change_index,
+            )
+        except np.linalg.LinAlgError:
+            self._prior_pending = None
         return int(res.num_inliers)
 
     def _match_against(self, frame: Frame, pos, desc, ids, valid_mp,
@@ -782,7 +815,14 @@ class Tracking:
                     seen.add(mp + 10 ** 9)  # avoid clash with kf ids
                     mp_ids.append(mp)
         # de-dup preserving order, cap to bucket
-        uniq = list(dict.fromkeys(mp_ids))[:LOCAL_MP_BUCKET]
+        uniq = list(dict.fromkeys(mp_ids))
+        if len(uniq) > LOCAL_MP_BUCKET:
+            from ..utils import verbose
+
+            verbose.print_mess(
+                f"local map snapshot cap hit: {LOCAL_MP_BUCKET} of "
+                f"{len(uniq)} points", verbose.Level.VERBOSE)
+            uniq = uniq[:LOCAL_MP_BUCKET]
         return np.asarray(uniq, np.int64)
 
     def _track_local_map(self, frame: Frame) -> bool:
@@ -914,6 +954,7 @@ class Tracking:
             kid, R_rel, t_rel = self._rel_pose
             self._rel_pose = (kid, R_rel, (s * t_rel).astype(np.float32))
         self.velocity = None  # scale changed; constant-velocity is stale
+        self._frame_prior = None  # prior mean is in the pre-transform frame
 
     def _update_velocity(self, frame: Frame):
         lf = self.last_frame
@@ -1323,8 +1364,14 @@ class Tracking:
             ckf = m.keyframes.get(ck)
             if ckf is not None:
                 mp_ids.extend(int(x) for x in ckf.mp_ids[ckf.mp_ids >= 0])
-        mp_ids = [mp for mp in dict.fromkeys(mp_ids)
-                  if m.points.alive[mp]][:2048]
+        mp_ids = [mp for mp in dict.fromkeys(mp_ids) if m.points.alive[mp]]
+        if len(mp_ids) > 2048:
+            from ..utils import verbose
+
+            verbose.print_mess(
+                f"reloc widen cap hit: 2048 of {len(mp_ids)} candidates",
+                verbose.Level.VERBOSE)
+            mp_ids = mp_ids[:2048]
         if not mp_ids:
             return False
         pos = m.points.pos[mp_ids]
@@ -1394,6 +1441,7 @@ class Tracking:
         self.velocity = None
         self.ref_kf = None
         self._mono_init_frame = None
+        self._frame_prior = None
         # inertial chain does not cross maps
         self._pre_from_kf = None
         self._pre_cur = None
