@@ -83,3 +83,67 @@ class TestSimilarityTop2:
         )
         np.testing.assert_array_equal(np.asarray(got.mask), np.asarray(ref.mask))
         np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
+
+class TestDetectCandidates:
+    """The fused detect post-processing kernel (strip-mined) must be
+    bit-identical to the XLA cell path — same NMS mask, ranking scores,
+    sub-pixel offsets and candidate set (docstring guarantees in
+    pallas_kernels._detect_kernel)."""
+
+    def _run_pair(self, rng, H8, W8, K, B=2):
+        from xfeatslam_tpu.ops import detect
+
+        feats = jnp.asarray(rng.standard_normal((B, H8, W8, 64)).astype(np.float32))
+        logits = jnp.asarray((rng.standard_normal((B, H8, W8, 65)) * 3).astype(np.float32))
+        heat = jnp.asarray(rng.uniform(size=(B, H8, W8, 1)).astype(np.float32))
+        try:
+            detect._FORCE_PALLAS = False
+            ref = detect.select_keypoints(feats, logits, heat, K)
+            detect._FORCE_PALLAS = True
+            got = detect.select_keypoints(feats, logits, heat, K)
+        finally:
+            detect._FORCE_PALLAS = False
+        return ref, got
+
+    def _assert_equal(self, ref, got):
+        v = np.asarray(ref["valid"])
+        np.testing.assert_array_equal(v, np.asarray(got["valid"]))
+        assert v.any()
+        for k in ("kpts", "scores", "desc"):
+            r, g = np.asarray(ref[k])[v], np.asarray(got[k])[v]
+            np.testing.assert_array_equal(r, g, err_msg=k)
+
+    def test_bitwise_parity_multistrip(self, rng):
+        # H8=30 does not divide the 16-row strips: exercises the padded
+        # last strip and the -1 forcing of rows past the true height
+        self._assert_equal(*self._run_pair(rng, H8=30, W8=40, K=300))
+
+    def test_bitwise_parity_single_strip(self, rng):
+        self._assert_equal(*self._run_pair(rng, H8=16, W8=24, K=150))
+
+
+class TestBilinearDescSample:
+    def test_matches_dense_normalize_and_sample(self, rng):
+        """Kernel (normalize -> one-hot matmul gather -> renormalize) vs
+        the straight XLA ops it replaces."""
+        from xfeatslam_tpu.ops import detect, image as image_ops
+        from jax import lax
+
+        B, H8, W8, K = 2, 16, 24, 200
+        H, W = H8 * 8, W8 * 8
+        feats = jnp.asarray(rng.standard_normal((B, H8, W8, 64)).astype(np.float32))
+        kpts = jnp.asarray(
+            np.stack([rng.uniform(0, W - 1, (B, K)),
+                      rng.uniform(0, H - 1, (B, K))], -1).astype(np.float32))
+        valid = jnp.asarray(rng.uniform(size=(B, K)) > 0.2)
+
+        featsn = feats * lax.rsqrt(
+            jnp.sum(feats * feats, axis=-1, keepdims=True) + 1e-12)
+        d = image_ops.sample_bilinear(featsn, kpts, (H, W))
+        d = d * lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
+        ref = np.asarray(d * valid[..., None])
+
+        got = np.asarray(detect._desc_sample_pallas(feats, kpts, valid, H8, W8))
+        v = np.asarray(valid)
+        np.testing.assert_allclose(got[v], ref[v], atol=2e-6)
+        assert np.abs(got[~v]).max() == 0.0

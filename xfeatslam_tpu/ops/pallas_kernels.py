@@ -1,4 +1,14 @@
-"""Pallas TPU kernels for matcher hot ops.
+"""Pallas TPU kernels for the extraction/matching hot ops.
+
+Three kernel families:
+- matcher (``similarity_top2``/``mutual_nn_top2``): fused A@B^T + top-2,
+  never materializing the (N,M) matrix in HBM;
+- detect post-processing (``detect_candidates``): the whole
+  softmax -> 5x5 NMS -> reliability -> rank -> soft-argmax -> per-cell
+  candidate chain in VMEM over cell-row strips (bit-identical to the XLA
+  cell path in ops/detect.py, which serves every other backend);
+- descriptor sampling (``bilinear_desc_sample``): the 4-tap bilinear
+  gather expressed as a one-hot MXU contraction.
 
 The descriptor matchers (ops/matching.py) are the per-frame hot path after
 the CNN: an (N,M) distance matrix plus row-wise best/second-best. XLA
@@ -115,6 +125,363 @@ def xfeat_best_two_distances(desc_a, desc_b, valid_a=None, valid_b=None,
         d1 = jnp.where(valid_a, d1, jnp.inf)
         d2 = jnp.where(valid_a, d2, jnp.inf)
     return d1, d2, i1
+
+
+NC_CAND = 12
+STRIP_ROWS = 16
+
+
+def _detect_kernel(logits_ref, ltop_ref, lbot_ref, heat_ref, htop_ref,
+                   hbot_ref, vals_ref, ch_ref, offx_ref, offy_ref, *,
+                   threshold: float, softmax_temp: float, H8: int, S: int):
+    """One cell-row STRIP of one image of the detect post-processing in
+    VMEM, transposed cell layout (S+2, 64ch, W8): softmax(65) -> 5x5 NMS ->
+    bilinear reliability -> ranked score -> 3x3 soft-argmax offsets ->
+    per-cell top-NC_CAND candidate extraction. Channel c = py*8+px is the
+    pixel (cy*8+py, cx*8+px); channels sit on SUBLANES and cx on LANES so
+    that the (rows,W8) reliability map broadcasts over channels as a
+    natural sublane replicate (the straight layout needs a lane->sublane
+    relayout Mosaic lowers catastrophically). Same math as
+    ops/detect.ranked_score_cells + _cells_topk stage 1 + the soft-argmax
+    in select_keypoints; the ~40 shifted intermediates never touch HBM.
+
+    Strip-mining (the whole-image kernel oversubscribes VMEM by ~9 MB at
+    640x480): the grid is (B, n_strips); every neighbour op needs at most
+    ONE cell row beyond the strip (5x5 NMS spans +-2 px = +-1 cell row,
+    the reliability y-pass two adjacent rows of the per-row x-pass, the
+    3x3 soft-argmax +-1 px), so the caller passes the adjacent rows as
+    1-row halo side inputs (logits traffic stays ~1x) and the kernel
+    computes on S+2 rows, emitting the S interior ones. All row iotas are
+    offset to GLOBAL cell coordinates and every border/bounds mask uses
+    the real image height ``H8``, so results are bit-identical to the
+    XLA cell path: at image borders the halo rows are zero-filled, whose
+    softmax is uniform 1/65 — below any meaningful NMS threshold, and
+    excluded from reliability/offsets by the global bounds masks.
+
+    Outputs, per cell and candidate rank r: score (-1 for non-survivors
+    and rows past the true image height), channel id, and sub-pixel
+    offsets at that peak."""
+    s_id = pl.program_id(1)
+    l = jnp.concatenate([ltop_ref[0], logits_ref[0], lbot_ref[0]], axis=0)
+    W8 = l.shape[1]
+    neg = jnp.float32(-jnp.inf)
+
+    lt = jnp.transpose(l, (0, 2, 1))  # (S+2, 65, W8) - one VMEM transpose
+    if softmax_temp != 1.0:
+        lt = lt * softmax_temp
+    m = jnp.max(lt, axis=1, keepdims=True)
+    e = jnp.exp(lt - m)
+    p = (e / jnp.sum(e, axis=1, keepdims=True))[:, :64, :]  # (S+2, 64, W8)
+
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, 64, 1), 1)
+    py = ci // 8
+    px = ci % 8
+    cxi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W8), 2)
+    # GLOBAL cell row of each local row (local row 0 is the top halo)
+    cyi = (jax.lax.broadcasted_iota(jnp.int32, (S + 2, 1, 1), 0)
+           + s_id * S - 1)
+
+    def roll_ch(x, s):
+        """Channel roll = sublane roll in this layout."""
+        return pltpu.roll(x, s % 64, axis=1)
+
+    def shift_rows(x, delta, fill):
+        """Cell-row shift (axis 0, untiled): slice + concat."""
+        n = x.shape[0]
+        pad = jnp.full((abs(delta),) + x.shape[1:], fill, x.dtype)
+        if delta > 0:
+            return jnp.concatenate([x[delta:], pad], axis=0)
+        return jnp.concatenate([pad, x[:n + delta]], axis=0)
+
+    def shift_cols(x, delta, fill):
+        """Cell-column shift (axis 2 = lanes): circular roll + edge mask."""
+        n = x.shape[2]
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+        r = pltpu.roll(x, (-delta) % n, axis=2)
+        mask = idx < n - delta if delta > 0 else idx >= -delta
+        return jnp.where(mask, r, jnp.full_like(x, fill))
+
+    # ---- 5x5 NMS (separable max), y pass then x pass ----
+    p_down = shift_rows(p, 1, neg)
+    p_up = shift_rows(p, -1, neg)
+    my = p
+    for dy in (1, 2):
+        my = jnp.maximum(my, jnp.where(py < 8 - dy, roll_ch(p, -8 * dy),
+                                       roll_ch(p_down, -8 * dy)))
+        my = jnp.maximum(my, jnp.where(py >= dy, roll_ch(p, 8 * dy),
+                                       roll_ch(p_up, 8 * dy)))
+    my_right = shift_cols(my, 1, neg)
+    my_left = shift_cols(my, -1, neg)
+    mx = my
+    for dx in (1, 2):
+        mx = jnp.maximum(mx, jnp.where(px < 8 - dx, roll_ch(my, -dx),
+                                       roll_ch(my_right, 8 - dx)))
+        mx = jnp.maximum(mx, jnp.where(px >= dx, roll_ch(my, dx),
+                                       roll_ch(my_left, dx - 8)))
+    nms = (p == mx) & (p > threshold)
+
+    # ---- bilinear reliability in cell space (bit-for-bit parity with
+    # image_ops.dense_grid_sample_bilinear: same pos formula, same x-then-y
+    # grouping, zero weight out of bounds) ----
+    W, H = W8 * 8, H8 * 8
+    h1 = jnp.concatenate([htop_ref[0, 0], heat_ref[0], hbot_ref[0, 0]],
+                         axis=0)[:, None, :]  # (S+2,1,W8) - sublane bcast
+    pos_x = (cxi * 8 + px).astype(jnp.float32) * (W8 / (W - 1.0)) - 0.5
+    x0 = jnp.floor(pos_x)
+    wxf = pos_x - x0
+    x0i = x0.astype(jnp.int32)
+    wx0 = (1.0 - wxf) * ((x0i >= 0) & (x0i < W8))
+    wx1 = wxf * (x0i + 1 < W8)
+    mx0 = x0i == cxi - 1  # else x0 == cx (pos-cx ranges (-0.5, 0.52))
+    s_xm1 = shift_cols(h1, -1, 0.0)
+    s_xp1 = shift_cols(h1, 1, 0.0)
+    gx = (jnp.where(mx0, s_xm1, h1) * wx0
+          + jnp.where(mx0, h1, s_xp1) * wx1)  # (H8, 64, W8)
+
+    pos_y = (cyi * 8 + py).astype(jnp.float32) * (H8 / (H - 1.0)) - 0.5
+    y0 = jnp.floor(pos_y)
+    wyf = pos_y - y0
+    y0i = y0.astype(jnp.int32)
+    wy0 = (1.0 - wyf) * ((y0i >= 0) & (y0i < H8))
+    wy1 = wyf * (y0i + 1 < H8)
+    my0 = y0i == cyi - 1
+    g_ym1 = shift_rows(gx, -1, 0.0)
+    g_yp1 = shift_rows(gx, 1, 0.0)
+    rel = (jnp.where(my0, g_ym1, gx) * wy0
+           + jnp.where(my0, gx, g_yp1) * wy1)
+
+    last = ((cyi == H8 - 1) & (py == 7)) | ((cxi == W8 - 1) & (px == 7))
+    ranked = jnp.where(nms, jnp.where(last, 0.0, p) * rel,
+                       jnp.float32(-1.0))
+    # rows past the true image height (strip-alignment padding) never rank
+    ranked = jnp.where(cyi >= H8, jnp.float32(-1.0), ranked)
+
+    # ---- dense 3x3 soft-argmax neighbour sums (coords clamp at the image
+    # border exactly like the jnp.clip in the sparse original) ----
+    def nbr_y(x, dy):
+        oob = (cyi == H8 - 1) & (py == 7) if dy > 0 else (cyi == 0) & (
+            py == 0)
+        std = jnp.where(py < 8 - dy if dy > 0 else py >= -dy,
+                        roll_ch(x, -8 * dy),
+                        roll_ch(shift_rows(x, 1 if dy > 0 else -1, 0.0),
+                                -8 * dy))
+        return jnp.where(oob, x, std)
+
+    def nbr_x(x, dx):
+        oob = (cxi == W8 - 1) & (px == 7) if dx > 0 else (cxi == 0) & (
+            px == 0)
+        std = jnp.where(px < 8 - dx if dx > 0 else px >= -dx,
+                        roll_ch(x, -dx),
+                        roll_ch(shift_cols(x, 1 if dx > 0 else -1, 0.0),
+                                8 - dx if dx > 0 else (-dx) - 8))
+        return jnp.where(oob, x, std)
+
+    ty = nbr_y(p, -1) + p + nbr_y(p, 1)
+    uy = nbr_y(p, 1) - nbr_y(p, -1)
+    s_sum = nbr_x(ty, -1) + ty + nbr_x(ty, 1)
+    sx = nbr_x(ty, 1) - nbr_x(ty, -1)
+    sy = nbr_x(uy, -1) + uy + nbr_x(uy, 1)
+    inv = 1.0 / jnp.maximum(s_sum, 1e-9)
+    offx_d = jnp.clip(sx * inv, -1.0, 1.0)
+    offy_d = jnp.clip(sy * inv, -1.0, 1.0)
+
+    # ---- per-cell top-NC_CAND extraction over channels (sublane axis).
+    # NMS survivors are spaced >=3 px, so an 8x8 cell holds at most
+    # ceil(8/3)^2 = 9; NC_CAND=12 leaves tie margin, hence every survivor
+    # is extracted and the stage-2 top-K over candidates stays exact. ----
+    v = ranked
+    for r in range(NC_CAND):
+        mval = jnp.max(v, axis=1, keepdims=True)           # (S+2,1,W8)
+        sel1 = jnp.min(jnp.where(v == mval, ci, 64), axis=1, keepdims=True)
+        sel = ci == sel1
+        # emit the S interior rows; local rows 0 and S+1 are halo
+        vals_ref[0, :, r, :] = mval[1:S + 1, 0, :]
+        ch_ref[0, :, r, :] = sel1[1:S + 1, 0, :]
+        offx_ref[0, :, r, :] = jnp.sum(
+            jnp.where(sel, offx_d, 0.0), axis=1)[1:S + 1]
+        offy_ref[0, :, r, :] = jnp.sum(
+            jnp.where(sel, offy_d, 0.0), axis=1)[1:S + 1]
+        v = jnp.where(sel, neg, v)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "threshold", "softmax_temp", "interpret"))
+def detect_candidates(logits, heatmap, threshold: float = 0.05,
+                      softmax_temp: float = 1.0, interpret: bool = False):
+    """Fused detect post-processing on TPU. (B,H8,W8,65) logits +
+    (B,H8,W8,1) reliability -> per-cell candidates:
+      vals (B,H8,NC,W8) ranking scores (-1 where not an NMS survivor),
+      ch   (B,H8,NC,W8) int32 channel = py*8+px within the cell,
+      offx/offy (B,H8,NC,W8) 3x3 soft-argmax sub-pixel offsets.
+    Candidate (b, cy, r, cx) is pixel (cy*8+ch//8, cx*8+ch%8). The caller
+    runs the exact top-K over vals.reshape(B,-1) (see detect.py).
+
+    The grid is (B, n_strips) of STRIP_ROWS cell rows each (whole-image
+    VMEM working set oversubscribes at 640x480); each strip gets its two
+    adjacent rows as 1-row halo side inputs sliced here (zeros at the
+    image borders — see _detect_kernel for why that is exact), keeping
+    logits HBM traffic at ~1x."""
+    B, H8, W8, _ = logits.shape
+    # the kernel's VMEM working set scales with (S+2)*W8; STRIP_ROWS is
+    # sized for W8=80 (640 px), so shrink strips for wider images
+    S = max(8, min(STRIP_ROWS * 80 // max(W8, 1), H8))
+    NS = -(-H8 // S)
+    H8p = NS * S
+    heat3 = heatmap.reshape(B, H8, W8)
+    if H8p != H8:
+        logits = jnp.pad(logits, ((0, 0), (0, H8p - H8), (0, 0), (0, 0)))
+        heat3 = jnp.pad(heat3, ((0, 0), (0, H8p - H8), (0, 0)))
+
+    zl = jnp.zeros((B, 1, W8, 65), logits.dtype)
+    zh = jnp.zeros((B, 1, W8), heat3.dtype)
+    # top halo of strip s is row s*S-1 (zeros for s=0); bottom is (s+1)*S
+    ltop = jnp.concatenate([zl, logits[:, S - 1::S][:, :NS - 1]], axis=1)
+    lbot = jnp.concatenate([logits[:, S::S], zl], axis=1)
+    # heat halos get an explicit singleton row dim: a (1,1,W8) block on a
+    # (B,NS,W8) array is rejected by the TPU lowering (sublane block dim 1
+    # neither 8-divisible nor equal to NS); (B,NS,1,W8) makes it equal.
+    htop = jnp.concatenate([zh, heat3[:, S - 1::S][:, :NS - 1]],
+                           axis=1)[:, :, None, :]
+    hbot = jnp.concatenate([heat3[:, S::S], zh], axis=1)[:, :, None, :]
+
+    fsh = jax.ShapeDtypeStruct((B, H8p, NC_CAND, W8), jnp.float32)
+    ish = jax.ShapeDtypeStruct((B, H8p, NC_CAND, W8), jnp.int32)
+    spec = pl.BlockSpec((1, S, NC_CAND, W8), lambda b, s: (b, s, 0, 0),
+                        memory_space=pltpu.VMEM)
+    halo_l = pl.BlockSpec((1, 1, W8, 65), lambda b, s: (b, s, 0, 0),
+                          memory_space=pltpu.VMEM)
+    # heat stays 3D (a trailing size-1 lane dim would pad to 128 lanes)
+    halo_h = pl.BlockSpec((1, 1, 1, W8), lambda b, s: (b, s, 0, 0),
+                          memory_space=pltpu.VMEM)
+    vals, ch, offx, offy = pl.pallas_call(
+        functools.partial(_detect_kernel, threshold=threshold,
+                          softmax_temp=softmax_temp, H8=H8, S=S),
+        grid=(B, NS),
+        in_specs=[
+            pl.BlockSpec((1, S, W8, 65), lambda b, s: (b, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            halo_l, halo_l,
+            pl.BlockSpec((1, S, W8), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+            halo_h, halo_h,
+        ],
+        out_specs=(spec, spec, spec, spec),
+        out_shape=(fsh, ish, fsh, fsh),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=400 * B * H8 * W8 * 64,
+            bytes_accessed=(B * H8 * W8 * (65 + 1)
+                            + 4 * B * H8 * NC_CAND * W8) * 4,
+            transcendentals=B * H8 * W8 * 65,
+        ),
+    )(logits, ltop, lbot, heat3, htop, hbot)
+    if H8p != H8:
+        vals, ch = vals[:, :H8], ch[:, :H8]
+        offx, offy = offx[:, :H8], offy[:, :H8]
+    return vals, ch, offx, offy
+
+
+KPT_TILE = 128
+PIX_CHUNK = 1024
+
+
+def _pick_chunk(npix: int):
+    """Largest equal chunking of the pixel axis with chunk <= PIX_CHUNK,
+    preferring 8-aligned (sublane-whole) chunks."""
+    nch = -(-npix // PIX_CHUNK)
+    best = None
+    while nch <= npix:
+        if npix % nch == 0:
+            if (npix // nch) % 8 == 0:
+                return nch, npix // nch
+            if best is None:
+                best = nch
+        nch += 1
+    nch = best or npix
+    return nch, npix // nch
+
+
+def _desc_sample_kernel(feats_ref, idx_ref, w_ref, out_ref, fn_ref):
+    """One 128-keypoint tile of one image: build the 4-tap bilinear weight
+    matrix as a one-hot-sum (VPU compares) and contract it against the
+    L2-normalized dense (NP, 64) descriptor grid on the MXU — a gather
+    expressed as a matmul, which is the fast form on TPU (random row
+    gathers lower ~30x slower, PERF.md). Rows are renormalized in-kernel;
+    invalid keypoints carry all-zero weights and come out zero.
+
+    The grid is (B, K/KPT_TILE): the normalize pass runs once per image
+    (pl.when on the first tile; the scratch persists across tiles of the
+    same image) and the pixel axis is chunked via a fori_loop — one
+    in-kernel loop over all tiles with an unrolled chunk loop allocates
+    every iteration's (KPT_TILE, NP) temporaries on Mosaic's stack at
+    once and oversubscribes scoped VMEM (~22 MB at 640x480)."""
+    npix, C = fn_ref.shape
+    nch, chunk = _pick_chunk(npix)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _normalize():
+        f = feats_ref[0]
+        fn_ref[:] = f * lax.rsqrt(
+            jnp.sum(f * f, axis=-1, keepdims=True) + 1e-12)
+
+    itap = [idx_ref[0, :, tap][:, None] for tap in range(4)]
+    wtap = [w_ref[0, :, tap][:, None] for tap in range(4)]
+
+    def chunk_body(ci, d):
+        c0 = ci * chunk
+        cols = (lax.broadcasted_iota(jnp.int32, (KPT_TILE, chunk), 1)
+                + c0)
+        wmat = jnp.zeros((KPT_TILE, chunk), jnp.float32)
+        for tap in range(4):
+            wmat = wmat + jnp.where(cols == itap[tap], wtap[tap], 0.0)
+        return d + jnp.dot(wmat, fn_ref[pl.ds(c0, chunk), :],
+                           preferred_element_type=jnp.float32)
+
+    d = lax.fori_loop(0, nch, chunk_body,
+                      jnp.zeros((KPT_TILE, C), jnp.float32))
+    d = d * lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
+    out_ref[0] = d
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bilinear_desc_sample(feats, idx4, w4, interpret: bool = False):
+    """Fused normalize -> 4-tap bilinear descriptor sampling -> renormalize.
+
+    Args:
+      feats: (B, NP, C) raw dense descriptors (NP = H8*W8 grid pixels).
+      idx4: (B, K, 4) int32 grid-row index of each bilinear tap (clipped
+        in-bounds; out-of-bounds taps must carry weight 0).
+      w4: (B, K, 4) float32 tap weights (already folded with OOB/valid
+        masks). K must be a multiple of 128 (pad upstream).
+    Returns (B, K, C) L2-normalized interpolated descriptors.
+    """
+    B, NP, C = feats.shape
+    K = idx4.shape[1]
+    assert K % KPT_TILE == 0, f"K={K} must be a multiple of {KPT_TILE}"
+    return pl.pallas_call(
+        _desc_sample_kernel,
+        grid=(B, K // KPT_TILE),
+        in_specs=[
+            # index map ignores t: the image block stays resident across
+            # its keypoint tiles (no re-fetch), scratch normalized at t==0
+            pl.BlockSpec((1, NP, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KPT_TILE, 4), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KPT_TILE, 4), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, KPT_TILE, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, K, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((NP, C), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * NP * C,
+            bytes_accessed=(B * NP * C + 2 * B * K * 4 + B * K * C) * 4,
+            transcendentals=0,
+        ),
+    )(feats, idx4, w4)
 
 
 def mutual_nn_top2(desc_a, desc_b, valid_a, valid_b, interpret: bool = False):
