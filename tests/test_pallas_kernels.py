@@ -147,3 +147,30 @@ class TestBilinearDescSample:
         v = np.asarray(valid)
         np.testing.assert_allclose(got[v], ref[v], atol=2e-6)
         assert np.abs(got[~v]).max() == 0.0
+
+class TestMutualNNPairs:
+    def test_matches_vmapped_xla_path(self, rng):
+        """Pair-batched fused kernel vs the vmapped XLA reference over
+        aligned frame pairs, including validity masks and ratio test."""
+        from xfeatslam_tpu.parallel import batched
+
+        B, K, D = 4, 300, 64
+        d = rng.standard_normal((B, K, D)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        # plant true correspondences so mutual matches exist
+        d[1:, :150] = d[:-1, :150] + 0.01 * rng.standard_normal(
+            (B - 1, 150, D)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        valid = rng.uniform(size=(B, K)) > 0.1
+
+        dj, vj = jnp.asarray(d), jnp.asarray(valid)
+        ref = batched.match_consecutive(dj, vj, fused=False)
+        got = batched.match_consecutive(dj, vj, fused=True)
+        np.testing.assert_array_equal(np.asarray(got.mask),
+                                      np.asarray(ref.mask))
+        np.testing.assert_array_equal(np.asarray(got.idx),
+                                      np.asarray(ref.idx))
+        m = np.asarray(ref.mask)
+        assert m.any()
+        np.testing.assert_allclose(np.asarray(got.dist)[m],
+                                   np.asarray(ref.dist)[m], atol=1e-3)

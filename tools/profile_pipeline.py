@@ -2,10 +2,15 @@
 """Per-stage device profile of the batched extract+match pipeline.
 
 VERDICT round-2 Weak #1 asked for a written breakdown of where the
-batch-256 graph's time goes. This times each stage with block_until_ready
-fences (jax.profiler traces don't survive the axon tunnel) and reports
-per-stage ms, achieved TFLOP/s of the conv stack, and rough HBM traffic —
-the roofline evidence for what to attack next.
+batch-256 graph's time goes. jax.profiler traces don't survive the axon
+tunnel, and `block_until_ready` does NOT fence device completion through
+it either (measured: an 8192^3 matmul "completes" in 0.05 ms; a host
+fetch of the result takes 40+ ms) — so each stage is timed by running
+`repeats` data-dependent iterations inside ONE jitted lax.scan, forcing
+completion with a scalar host fetch, and subtracting one measured tunnel
+round-trip: ms = (t_fetch - RTT) / repeats. The scan carry perturbs an
+input and folds every output leaf so XLA can neither hoist the body out
+of the loop nor dead-code any stage output.
 
     python tools/profile_pipeline.py [--batch 256] [--hw 480 640]
 """
@@ -48,15 +53,64 @@ def conv_flops(hw):
     return f
 
 
-def timeit(fn, *args, iters=8, warmup=2):
-    import jax
+_RTT = None
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / iters, out
+
+def tunnel_rtt():
+    """One sync round trip through the tunnel (median of 5 tiny fetches)."""
+    global _RTT
+    if _RTT is None:
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda v: v + 1.0)
+        float(f(jnp.float32(0)))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(f(jnp.float32(0)))
+            ts.append(time.perf_counter() - t0)
+        _RTT = sorted(ts)[2]
+    return _RTT
+
+
+def timeit(fn, *args, repeats=16):
+    """Device-side seconds per fn(*args) via scan-chaining (see module
+    docstring). Returns (seconds, fn(*args))."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def perturb(a, c):
+        out, done = [], False
+        for x in a:
+            if not done and hasattr(x, "dtype") and jnp.issubdtype(
+                    x.dtype, jnp.floating):
+                out.append(x + c.astype(x.dtype) * 1e-30)
+                done = True
+            else:
+                out.append(x)
+        return tuple(out)
+
+    @jax.jit
+    def loop(*a):
+        def body(c, _):
+            o = fn(*perturb(a, c))
+            s = sum(jnp.sum(leaf.astype(jnp.float32)) * 1e-30
+                    for leaf in jax.tree_util.tree_leaves(o))
+            return c + s, None
+        c, _ = lax.scan(body, jnp.float32(0), None, length=repeats)
+        return c
+
+    rtt = tunnel_rtt()
+    float(loop(*args))  # compile + warm
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(loop(*args))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return max(best - rtt, 0.0) / repeats, fn(*args)
 
 
 def main():

@@ -484,6 +484,117 @@ def bilinear_desc_sample(feats, idx4, w4, interpret: bool = False):
     )(feats, idx4, w4)
 
 
+def _mnn_pair_kernel(a_ref, b_ref, va_ref, vb_ref, row_ref, col_ref):
+    """One frame PAIR per grid step: similarity (KP,K) on the MXU, row-wise
+    top-2 + argbest AND column-wise best-row in the same pass, tiled over
+    TILE_N row blocks so the matrix never exceeds ~1 MB of VMEM (a whole
+    (KP,K) similarity plus its argmax temporaries would not fit).
+
+    The vmapped two-call form (similarity_top2 x2) runs 2*(B-1)*KP/TILE_N
+    grid steps of (TILE_N,D)@(D,K) — measured 39.5 ms for 255 pairs at
+    K=1000 (~0.84 TFLOP/s, pure per-step overhead). One pair per step
+    re-uses the B block for both directions and quadruples the matmul M
+    dim.
+
+    Masking matches ops/matching._mask_dist exactly: columns invalid by
+    vb are -inf for the row pass; the column pass additionally masks
+    va rows; ties break to the first index in both passes (strict >
+    accumulator update keeps the earliest tile).
+
+    Outputs: row_ref (1, KP, 8) packed [s1, s2, i1, 0...]; col_ref
+    (1, 8, K) packed [colmax, col_best_row, 0...] as lane vectors."""
+    kp = a_ref.shape[1]
+    k = b_ref.shape[1]
+    nt = kp // TILE_N
+    bt = b_ref[0].T
+    vb = vb_ref[0, 0, :][None, :] > 0
+    gmax = jnp.full((1, k), -jnp.inf, jnp.float32)
+    grow = jnp.zeros((1, k), jnp.int32)
+    for t in range(nt):
+        sl = pl.ds(t * TILE_N, TILE_N)
+        sim = jnp.dot(a_ref[0, sl, :], bt,
+                      preferred_element_type=jnp.float32)
+        sim = jnp.where(vb, sim, -jnp.inf)
+        s1 = jnp.max(sim, axis=1)
+        i1 = jnp.argmax(sim, axis=1)
+        cols = lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+        s2 = jnp.max(jnp.where(cols == i1[:, None], -jnp.inf, sim), axis=1)
+        row_ref[0, sl, :] = jnp.stack(
+            [s1, s2, i1.astype(jnp.float32)] + [jnp.zeros_like(s1)] * 5,
+            axis=1)
+        simv = jnp.where(va_ref[0, 0, sl][:, None] > 0, sim, -jnp.inf)
+        tmax = jnp.max(simv, axis=0)[None, :]
+        targ = (jnp.argmax(simv, axis=0).astype(jnp.int32)[None, :]
+                + t * TILE_N)
+        better = tmax > gmax
+        grow = jnp.where(better, targ, grow)
+        gmax = jnp.maximum(gmax, tmax)
+    col_ref[0] = jnp.concatenate(
+        [gmax, grow.astype(jnp.float32),
+         jnp.zeros((6, k), jnp.float32)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mutual_nn_pairs(desc_a, desc_b, valid_a, valid_b,
+                    interpret: bool = False):
+    """Batched fused mutual-NN primitives over aligned frame pairs.
+
+    Args:
+      desc_a/desc_b: (P, K, D) float32 descriptor banks, pair i matching
+        desc_a[i] against desc_b[i]. K % TILE_N need not hold — rows are
+        padded here.
+      valid_a/valid_b: (P, K) bool.
+    Returns (best (P,K), second (P,K), idx (P,K) int32, col_best_row
+    (P,K) int32) with identical semantics to mutual_nn_top2 per pair.
+    """
+    P, K, D = desc_a.shape
+    KP = -(-K // TILE_N) * TILE_N
+    if KP != K:
+        pad = ((0, 0), (0, KP - K), (0, 0))
+        desc_a = jnp.pad(desc_a, pad)
+    va = valid_a.astype(jnp.float32).reshape(P, 1, K)
+    if KP != K:
+        va = jnp.pad(va, ((0, 0), (0, 0), (0, KP - K)))
+    vb = valid_b.astype(jnp.float32).reshape(P, 1, K)
+    row, col = pl.pallas_call(
+        _mnn_pair_kernel,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((1, KP, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, KP, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, KP, 8), jnp.float32),
+            jax.ShapeDtypeStruct((P, 8, K), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * KP * K * D,
+            bytes_accessed=(P * (KP + K) * D + P * KP * 8 + P * 8 * K) * 4,
+            transcendentals=0,
+        ),
+    )(desc_a, desc_b, va, vb)
+    s1 = row[:, :K, 0]
+    s2 = row[:, :K, 1]
+    idx = row[:, :K, 2].astype(jnp.int32)
+    col_best = col[:, 1, :].astype(jnp.int32)
+    best = (2.0 - 2.0 * s1) * 512.0
+    second = (2.0 - 2.0 * s2) * 512.0
+    return best, second, idx, col_best
+
+
 def mutual_nn_top2(desc_a, desc_b, valid_a, valid_b, interpret: bool = False):
     """Exact mutual-NN primitives via two fused kernel calls, never
     materializing the (N,M) matrix in HBM: forward top-2 over rows of A and
