@@ -198,14 +198,16 @@ def ranked_score_cells(logits, heatmap, threshold: float = 0.05,
     return jnp.where(mask, score, jnp.float32(-1.0)), p
 
 
-def _cells_topk(ranked_cells, k: int, per_cell: int = 12):
+def _cells_topk(ranked_cells, k: int, per_cell: int = 9):
     """Exact top-k over the cell-layout ranked map, two stages.
 
     5x5 NMS survivors are spaced: an 8x8 cell holds at most
-    ceil(8/3)^2 = 9 (per_cell=12 leaves tie margin), so a per-cell top-12
-    over the 64 channels keeps every survivor and the real top-k runs over
-    the 5x smaller candidate set. Returns (scores (B,k), flat full-res
-    indices (B,k)) identical to the flat top-k up to equal-score ties.
+    ceil(8/3)^2 = 9 distinct-score survivors (a 10th requires exactly
+    tied plateaus, and a lost tie is an identical-score duplicate), so a
+    per-cell top-9 over the 64 channels keeps every survivor and the real
+    top-k runs over the 7x smaller candidate set. Returns (scores (B,k),
+    flat full-res indices (B,k)) identical to the flat top-k up to
+    equal-score ties.
     """
     B, H8, W8, _ = ranked_cells.shape
     W = W8 * 8
@@ -381,14 +383,17 @@ def _candidates_topk(vals, ch, offx, offy, k: int, W8: int):
     B, H8, NC, _ = vals.shape
     W = W8 * 8
     scores, sel = lax.top_k(vals.reshape(B, -1), k)
-    chs = jnp.take_along_axis(ch.reshape(B, -1), sel, axis=1)
-    ox = jnp.take_along_axis(offx.reshape(B, -1), sel, axis=1)
-    oy = jnp.take_along_axis(offy.reshape(B, -1), sel, axis=1)
+    # one 3-wide row gather instead of three scalar gathers (random
+    # gathers dominate this stage after the top-k itself, PERF.md)
+    aux = jnp.stack([ch.astype(jnp.float32), offx, offy],
+                    axis=-1).reshape(B, -1, 3)
+    g = jnp.take_along_axis(aux, sel[:, :, None], axis=1)
+    chs = g[..., 0].astype(jnp.int32)
     cy = sel // (NC * W8)
     cx = sel % W8
     y = cy * 8 + chs // 8
     x = cx * 8 + chs % 8
-    return scores, y * W + x, jnp.stack([ox, oy], axis=-1)
+    return scores, y * W + x, g[..., 1:]
 
 
 def _desc_sample_pallas(feats, kpts, valid, H8: int, W8: int):

@@ -127,42 +127,43 @@ def xfeat_best_two_distances(desc_a, desc_b, valid_a=None, valid_b=None,
     return d1, d2, i1
 
 
-NC_CAND = 12
+# Per-cell candidate count: 5x5 NMS forces >=3 px spacing, so an 8x8 cell
+# holds at most ceil(8/3)^2 = 9 distinct-score survivors; more than 9
+# requires exactly-equal tied plateaus, and a lost tie is an identical-
+# score duplicate the NMS exists to remove. 9 (not a padded 12) keeps the
+# stage-2 top-K input 25% smaller — it is 35% of detect time.
+NC_CAND = 9
 STRIP_ROWS = 16
 
 
-def _detect_kernel(logits_ref, ltop_ref, lbot_ref, heat_ref, htop_ref,
-                   hbot_ref, vals_ref, ch_ref, offx_ref, offy_ref, *,
-                   threshold: float, softmax_temp: float, H8: int, S: int):
-    """One cell-row STRIP of one image of the detect post-processing in
-    VMEM, transposed cell layout (S+2, 64ch, W8): softmax(65) -> 5x5 NMS ->
-    bilinear reliability -> ranked score -> 3x3 soft-argmax offsets ->
-    per-cell top-NC_CAND candidate extraction. Channel c = py*8+px is the
-    pixel (cy*8+py, cx*8+px); channels sit on SUBLANES and cx on LANES so
-    that the (rows,W8) reliability map broadcasts over channels as a
+def _strip_candidates(l, h, cyi, threshold: float, softmax_temp: float,
+                      H8: int):
+    """One cell-row strip (with 1-row halos) of the detect post-processing
+    in VMEM, transposed cell layout (S+2, 64ch, W8): softmax(65) -> 5x5
+    NMS -> bilinear reliability -> ranked score -> 3x3 soft-argmax offsets
+    -> per-cell top-NC_CAND candidate extraction. Channel c = py*8+px is
+    the pixel (cy*8+py, cx*8+px); channels sit on SUBLANES and cx on LANES
+    so that the (rows,W8) reliability map broadcasts over channels as a
     natural sublane replicate (the straight layout needs a lane->sublane
     relayout Mosaic lowers catastrophically). Same math as
     ops/detect.ranked_score_cells + _cells_topk stage 1 + the soft-argmax
     in select_keypoints; the ~40 shifted intermediates never touch HBM.
 
-    Strip-mining (the whole-image kernel oversubscribes VMEM by ~9 MB at
-    640x480): the grid is (B, n_strips); every neighbour op needs at most
-    ONE cell row beyond the strip (5x5 NMS spans +-2 px = +-1 cell row,
-    the reliability y-pass two adjacent rows of the per-row x-pass, the
-    3x3 soft-argmax +-1 px), so the caller passes the adjacent rows as
-    1-row halo side inputs (logits traffic stays ~1x) and the kernel
-    computes on S+2 rows, emitting the S interior ones. All row iotas are
-    offset to GLOBAL cell coordinates and every border/bounds mask uses
-    the real image height ``H8``, so results are bit-identical to the
-    XLA cell path: at image borders the halo rows are zero-filled, whose
-    softmax is uniform 1/65 — below any meaningful NMS threshold, and
-    excluded from reliability/offsets by the global bounds masks.
+    Every neighbour op needs at most ONE cell row beyond the strip (5x5
+    NMS spans +-2 px = +-1 cell row, the reliability y-pass two adjacent
+    rows of the per-row x-pass, the 3x3 soft-argmax +-1 px), so ``l``/``h``
+    carry one halo row on each side; the S interior rows are returned.
+    ``cyi`` is the GLOBAL cell row of each local row and every
+    border/bounds mask uses the real image height ``H8``, so results are
+    bit-identical to the XLA cell path: at image borders the halo rows are
+    zero-filled, whose softmax is uniform 1/65 — below any meaningful NMS
+    threshold, and excluded from reliability/offsets by the global bounds
+    masks.
 
-    Outputs, per cell and candidate rank r: score (-1 for non-survivors
-    and rows past the true image height), channel id, and sub-pixel
-    offsets at that peak."""
-    s_id = pl.program_id(1)
-    l = jnp.concatenate([ltop_ref[0], logits_ref[0], lbot_ref[0]], axis=0)
+    Returns (vals, ch, offx, offy) each (S, NC_CAND, W8): per cell and
+    candidate rank, score (-1 for non-survivors and rows past the true
+    image height), channel id, and sub-pixel offsets at that peak."""
+    S = l.shape[0] - 2
     W8 = l.shape[1]
     neg = jnp.float32(-jnp.inf)
 
@@ -177,9 +178,6 @@ def _detect_kernel(logits_ref, ltop_ref, lbot_ref, heat_ref, htop_ref,
     py = ci // 8
     px = ci % 8
     cxi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W8), 2)
-    # GLOBAL cell row of each local row (local row 0 is the top halo)
-    cyi = (jax.lax.broadcasted_iota(jnp.int32, (S + 2, 1, 1), 0)
-           + s_id * S - 1)
 
     def roll_ch(x, s):
         """Channel roll = sublane roll in this layout."""
@@ -224,8 +222,7 @@ def _detect_kernel(logits_ref, ltop_ref, lbot_ref, heat_ref, htop_ref,
     # image_ops.dense_grid_sample_bilinear: same pos formula, same x-then-y
     # grouping, zero weight out of bounds) ----
     W, H = W8 * 8, H8 * 8
-    h1 = jnp.concatenate([htop_ref[0, 0], heat_ref[0], hbot_ref[0, 0]],
-                         axis=0)[:, None, :]  # (S+2,1,W8) - sublane bcast
+    h1 = h[:, None, :]  # (S+2, 1, W8) - sublane broadcast is free
     pos_x = (cxi * 8 + px).astype(jnp.float32) * (W8 / (W - 1.0)) - 0.5
     x0 = jnp.floor(pos_x)
     wxf = pos_x - x0
@@ -285,23 +282,53 @@ def _detect_kernel(logits_ref, ltop_ref, lbot_ref, heat_ref, htop_ref,
     offx_d = jnp.clip(sx * inv, -1.0, 1.0)
     offy_d = jnp.clip(sy * inv, -1.0, 1.0)
 
-    # ---- per-cell top-NC_CAND extraction over channels (sublane axis).
-    # NMS survivors are spaced >=3 px, so an 8x8 cell holds at most
-    # ceil(8/3)^2 = 9; NC_CAND=12 leaves tie margin, hence every survivor
-    # is extracted and the stage-2 top-K over candidates stays exact. ----
+    # ---- per-cell top-NC_CAND extraction over channels (sublane axis);
+    # see the NC_CAND note for why every survivor is among them ----
     v = ranked
+    va, ca, oxa, oya = [], [], [], []
     for r in range(NC_CAND):
         mval = jnp.max(v, axis=1, keepdims=True)           # (S+2,1,W8)
         sel1 = jnp.min(jnp.where(v == mval, ci, 64), axis=1, keepdims=True)
         sel = ci == sel1
         # emit the S interior rows; local rows 0 and S+1 are halo
-        vals_ref[0, :, r, :] = mval[1:S + 1, 0, :]
-        ch_ref[0, :, r, :] = sel1[1:S + 1, 0, :]
-        offx_ref[0, :, r, :] = jnp.sum(
-            jnp.where(sel, offx_d, 0.0), axis=1)[1:S + 1]
-        offy_ref[0, :, r, :] = jnp.sum(
-            jnp.where(sel, offy_d, 0.0), axis=1)[1:S + 1]
+        va.append(mval[1:S + 1, 0, :])
+        ca.append(sel1[1:S + 1, 0, :])
+        oxa.append(jnp.sum(jnp.where(sel, offx_d, 0.0), axis=1)[1:S + 1])
+        oya.append(jnp.sum(jnp.where(sel, offy_d, 0.0), axis=1)[1:S + 1])
         v = jnp.where(sel, neg, v)
+    return (jnp.stack(va, axis=1), jnp.stack(ca, axis=1),
+            jnp.stack(oxa, axis=1), jnp.stack(oya, axis=1))
+
+
+def _detect_kernel(logits_ref, heat_ref, vals_ref, ch_ref, offx_ref,
+                   offy_ref, *, threshold: float, softmax_temp: float,
+                   H8: int, S: int):
+    """One IMAGE per grid step; strips run as an in-kernel fori_loop over
+    the VMEM-resident (1-row zero-padded) image block. The whole-image
+    single-pass kernel oversubscribes scoped VMEM by ~9 MB at 640x480 —
+    strips bound the live set — while a strip-per-grid-step variant
+    multiplies the per-step overhead by n_strips (grid-step count, not
+    compute, dominated its time); fori allocates each strip's temporaries
+    once. Halos are the adjacent rows of the resident block itself (the
+    padded zero rows at the image borders)."""
+    ns = (logits_ref.shape[1] - 2) // S
+
+    def strip_body(s, carry):
+        rows2 = pl.ds(s * S, S + 2)
+        l = logits_ref[0, rows2]
+        h = heat_ref[0, rows2]
+        cyi = (jax.lax.broadcasted_iota(jnp.int32, (S + 2, 1, 1), 0)
+               + s * S - 1)
+        va, ca, oxa, oya = _strip_candidates(l, h, cyi, threshold,
+                                             softmax_temp, H8)
+        rows = pl.ds(s * S, S)
+        vals_ref[0, rows] = va
+        ch_ref[0, rows] = ca
+        offx_ref[0, rows] = oxa
+        offy_ref[0, rows] = oya
+        return carry
+
+    lax.fori_loop(0, ns, strip_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -316,54 +343,35 @@ def detect_candidates(logits, heatmap, threshold: float = 0.05,
     Candidate (b, cy, r, cx) is pixel (cy*8+ch//8, cx*8+ch%8). The caller
     runs the exact top-K over vals.reshape(B,-1) (see detect.py).
 
-    The grid is (B, n_strips) of STRIP_ROWS cell rows each (whole-image
-    VMEM working set oversubscribes at 640x480); each strip gets its two
-    adjacent rows as 1-row halo side inputs sliced here (zeros at the
-    image borders — see _detect_kernel for why that is exact), keeping
-    logits HBM traffic at ~1x."""
+    The grid is (B,): the image block (zero-padded one row top/bottom —
+    the zero rows double as image-border halos) stays VMEM-resident and
+    STRIP_ROWS-row strips run as an in-kernel fori_loop (see
+    _detect_kernel)."""
     B, H8, W8, _ = logits.shape
     # the kernel's VMEM working set scales with (S+2)*W8; STRIP_ROWS is
-    # sized for W8=80 (640 px), so shrink strips for wider images
-    S = max(8, min(STRIP_ROWS * 80 // max(W8, 1), H8))
+    # sized for W8=80 (640 px), so shrink strips for wider images (kept a
+    # multiple of 8: strip starts index the sublane dim of the heat block)
+    S = max(8, min((STRIP_ROWS * 80 // max(W8, 1)) // 8 * 8, H8))
     NS = -(-H8 // S)
     H8p = NS * S
     heat3 = heatmap.reshape(B, H8, W8)
-    if H8p != H8:
-        logits = jnp.pad(logits, ((0, 0), (0, H8p - H8), (0, 0), (0, 0)))
-        heat3 = jnp.pad(heat3, ((0, 0), (0, H8p - H8), (0, 0)))
-
-    zl = jnp.zeros((B, 1, W8, 65), logits.dtype)
-    zh = jnp.zeros((B, 1, W8), heat3.dtype)
-    # top halo of strip s is row s*S-1 (zeros for s=0); bottom is (s+1)*S
-    ltop = jnp.concatenate([zl, logits[:, S - 1::S][:, :NS - 1]], axis=1)
-    lbot = jnp.concatenate([logits[:, S::S], zl], axis=1)
-    # heat halos get an explicit singleton row dim: a (1,1,W8) block on a
-    # (B,NS,W8) array is rejected by the TPU lowering (sublane block dim 1
-    # neither 8-divisible nor equal to NS); (B,NS,1,W8) makes it equal.
-    htop = jnp.concatenate([zh, heat3[:, S - 1::S][:, :NS - 1]],
-                           axis=1)[:, :, None, :]
-    hbot = jnp.concatenate([heat3[:, S::S], zh], axis=1)[:, :, None, :]
+    # one zero halo row top and bottom, plus strip-alignment padding rows
+    logits = jnp.pad(logits, ((0, 0), (1, 1 + H8p - H8), (0, 0), (0, 0)))
+    heat3 = jnp.pad(heat3, ((0, 0), (1, 1 + H8p - H8), (0, 0)))
 
     fsh = jax.ShapeDtypeStruct((B, H8p, NC_CAND, W8), jnp.float32)
     ish = jax.ShapeDtypeStruct((B, H8p, NC_CAND, W8), jnp.int32)
-    spec = pl.BlockSpec((1, S, NC_CAND, W8), lambda b, s: (b, s, 0, 0),
+    spec = pl.BlockSpec((1, H8p, NC_CAND, W8), lambda b: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
-    halo_l = pl.BlockSpec((1, 1, W8, 65), lambda b, s: (b, s, 0, 0),
-                          memory_space=pltpu.VMEM)
-    # heat stays 3D (a trailing size-1 lane dim would pad to 128 lanes)
-    halo_h = pl.BlockSpec((1, 1, 1, W8), lambda b, s: (b, s, 0, 0),
-                          memory_space=pltpu.VMEM)
     vals, ch, offx, offy = pl.pallas_call(
         functools.partial(_detect_kernel, threshold=threshold,
                           softmax_temp=softmax_temp, H8=H8, S=S),
-        grid=(B, NS),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, S, W8, 65), lambda b, s: (b, s, 0, 0),
+            pl.BlockSpec((1, H8p + 2, W8, 65), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            halo_l, halo_l,
-            pl.BlockSpec((1, S, W8), lambda b, s: (b, s, 0),
+            pl.BlockSpec((1, H8p + 2, W8), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            halo_h, halo_h,
         ],
         out_specs=(spec, spec, spec, spec),
         out_shape=(fsh, ish, fsh, fsh),
@@ -374,14 +382,14 @@ def detect_candidates(logits, heatmap, threshold: float = 0.05,
                             + 4 * B * H8 * NC_CAND * W8) * 4,
             transcendentals=B * H8 * W8 * 65,
         ),
-    )(logits, ltop, lbot, heat3, htop, hbot)
+    )(logits, heat3)
     if H8p != H8:
         vals, ch = vals[:, :H8], ch[:, :H8]
         offx, offy = offx[:, :H8], offy[:, :H8]
     return vals, ch, offx, offy
 
 
-KPT_TILE = 128
+KPT_TILE = 256
 PIX_CHUNK = 1024
 
 
@@ -409,38 +417,43 @@ def _desc_sample_kernel(feats_ref, idx_ref, w_ref, out_ref, fn_ref):
     gathers lower ~30x slower, PERF.md). Rows are renormalized in-kernel;
     invalid keypoints carry all-zero weights and come out zero.
 
-    The grid is (B, K/KPT_TILE): the normalize pass runs once per image
-    (pl.when on the first tile; the scratch persists across tiles of the
-    same image) and the pixel axis is chunked via a fori_loop — one
-    in-kernel loop over all tiles with an unrolled chunk loop allocates
+    The grid is (B,) with BOTH the keypoint-tile and pixel-chunk loops as
+    in-kernel fori_loops (temporaries allocated once per loop, not per
+    unrolled iteration — a fully unrolled tile x chunk loop allocates
     every iteration's (KPT_TILE, NP) temporaries on Mosaic's stack at
-    once and oversubscribes scoped VMEM (~22 MB at 640x480)."""
+    once and oversubscribes scoped VMEM by ~6 MB at 640x480; a
+    tile-per-grid-step variant fits but runs 8x more grid steps and is
+    per-step-overhead bound — measured 19 ms vs ~10)."""
     npix, C = fn_ref.shape
+    kp = out_ref.shape[1]
     nch, chunk = _pick_chunk(npix)
 
-    @pl.when(pl.program_id(1) == 0)
-    def _normalize():
-        f = feats_ref[0]
-        fn_ref[:] = f * lax.rsqrt(
-            jnp.sum(f * f, axis=-1, keepdims=True) + 1e-12)
+    f = feats_ref[0]
+    fn_ref[:] = f * lax.rsqrt(
+        jnp.sum(f * f, axis=-1, keepdims=True) + 1e-12)
 
-    itap = [idx_ref[0, :, tap][:, None] for tap in range(4)]
-    wtap = [w_ref[0, :, tap][:, None] for tap in range(4)]
+    def tile_body(t, carry):
+        sl = pl.ds(t * KPT_TILE, KPT_TILE)
+        itap = [idx_ref[0, sl, tap][:, None] for tap in range(4)]
+        wtap = [w_ref[0, sl, tap][:, None] for tap in range(4)]
 
-    def chunk_body(ci, d):
-        c0 = ci * chunk
-        cols = (lax.broadcasted_iota(jnp.int32, (KPT_TILE, chunk), 1)
-                + c0)
-        wmat = jnp.zeros((KPT_TILE, chunk), jnp.float32)
-        for tap in range(4):
-            wmat = wmat + jnp.where(cols == itap[tap], wtap[tap], 0.0)
-        return d + jnp.dot(wmat, fn_ref[pl.ds(c0, chunk), :],
-                           preferred_element_type=jnp.float32)
+        def chunk_body(ci, d):
+            c0 = ci * chunk
+            cols = (lax.broadcasted_iota(jnp.int32, (KPT_TILE, chunk), 1)
+                    + c0)
+            wmat = jnp.zeros((KPT_TILE, chunk), jnp.float32)
+            for tap in range(4):
+                wmat = wmat + jnp.where(cols == itap[tap], wtap[tap], 0.0)
+            return d + jnp.dot(wmat, fn_ref[pl.ds(c0, chunk), :],
+                               preferred_element_type=jnp.float32)
 
-    d = lax.fori_loop(0, nch, chunk_body,
-                      jnp.zeros((KPT_TILE, C), jnp.float32))
-    d = d * lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
-    out_ref[0] = d
+        d = lax.fori_loop(0, nch, chunk_body,
+                          jnp.zeros((KPT_TILE, C), jnp.float32))
+        d = d * lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
+        out_ref[0, sl, :] = d
+        return carry
+
+    lax.fori_loop(0, kp // KPT_TILE, tile_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -460,18 +473,16 @@ def bilinear_desc_sample(feats, idx4, w4, interpret: bool = False):
     assert K % KPT_TILE == 0, f"K={K} must be a multiple of {KPT_TILE}"
     return pl.pallas_call(
         _desc_sample_kernel,
-        grid=(B, K // KPT_TILE),
+        grid=(B,),
         in_specs=[
-            # index map ignores t: the image block stays resident across
-            # its keypoint tiles (no re-fetch), scratch normalized at t==0
-            pl.BlockSpec((1, NP, C), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, NP, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KPT_TILE, 4), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, K, 4), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KPT_TILE, 4), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, K, 4), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, KPT_TILE, C), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, K, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, K, C), jnp.float32),
         scratch_shapes=[pltpu.VMEM((NP, C), jnp.float32)],
