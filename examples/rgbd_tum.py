@@ -35,6 +35,10 @@ def main():
                     help="live viewer: atomically-updated live_frame.png/"
                     "live_map.png in DIR + session.gif at shutdown "
                     "(the reference's bUseViewer)")
+    ap.add_argument("--viewer-port", type=int, default=None, metavar="PORT",
+                    help="with --viewer: serve the interactive control "
+                    "panel (pause/step/follow/top-side view/localization/"
+                    "reset) at http://127.0.0.1:PORT/ (0 = auto-pick)")
     ap.add_argument("--backend", default=None, choices=["xfeat", "orb"],
                     help="feature backend (default: USE_ORB env var parity)")
     args = ap.parse_args()
@@ -69,7 +73,9 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     system = System(settings, Sensor.RGBD, backend=args.backend,
                     enable_loop_closing=not args.no_loop,
-                    viewer_dir=args.viewer)
+                    viewer_dir=args.viewer, viewer_port=args.viewer_port)
+    if system.viewer_server is not None:
+        print(f"viewer panel: http://127.0.0.1:{system.viewer_server.port}/")
 
     times = []
     n = len(frames) if frames is not None else len(data)

@@ -46,7 +46,8 @@ class System:
                  backend: Optional[str] = None,
                  enable_mapping: bool = True,
                  enable_loop_closing: bool = True,
-                 viewer_dir: Optional[str] = None):
+                 viewer_dir: Optional[str] = None,
+                 viewer_port: Optional[int] = None):
         """backend: "xfeat" (default) or "orb" — the USE_ORB switch of the
         reference (/root/reference/src/Tracking.cc:595-608, selected by env
         var there; an explicit argument here, with the env var honored when
@@ -55,7 +56,14 @@ class System:
         viewer_dir: when set, a LiveViewer (utils/viewer.py) follows the
         session — live_frame.png / live_map.png atomically updated in that
         directory, session.gif assembled at shutdown (the reference's
-        bUseViewer ctor flag, System.cc:90)."""
+        bUseViewer ctor flag, System.cc:90).
+
+        viewer_port: additionally serve an interactive control panel on
+        http://127.0.0.1:<port>/ (0 = pick a free port, read it back from
+        system.viewer_server.port) — pause/step-by-step, follow-camera,
+        top/side view, localization mode, reset, i.e. the menu surface of
+        the reference's Pangolin viewer (Viewer.cc:176-308) re-designed
+        for a display-less host. Requires viewer_dir."""
         if backend is None:
             backend = "orb" if os.environ.get("USE_ORB") else "xfeat"
         self.backend = backend
@@ -65,10 +73,20 @@ class System:
         self._mapping_paused = False
         self.settings = settings
         self.viewer = None
+        self.viewer_controls = None
+        self.viewer_server = None
         if viewer_dir is not None:
             from ..utils.viewer import LiveViewer
 
             self.viewer = LiveViewer(viewer_dir)
+            if viewer_port is not None:
+                from ..utils.viewer import ViewerControls, ViewerServer
+
+                self.viewer_controls = ViewerControls()
+                self.viewer_server = ViewerServer(
+                    viewer_dir, self.viewer_controls, port=viewer_port)
+        elif viewer_port is not None:
+            raise ValueError("viewer_port requires viewer_dir")
         self.sensor = sensor
         if extractor is None:
             if backend == "orb":
@@ -160,6 +178,7 @@ class System:
         """Returns (state, (R,t) world->camera or None). imu: list of
         (acc (3,), gyro (3,), t) samples since the previous frame
         (System::TrackRGBD vImuMeas, /root/reference/src/System.cc:235)."""
+        self._apply_viewer_controls()
         with self.timer.span("track"):
             state, pose = self.tracking.grab_rgbd(gray, depth_raw, timestamp,
                                                   imu=imu)
@@ -171,6 +190,7 @@ class System:
     def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray,
                      timestamp: float, imu=None):
         """Rectified stereo tracking (System::TrackStereo role)."""
+        self._apply_viewer_controls()
         with self.timer.span("track"):
             state, pose = self.tracking.grab_stereo(gray_l, gray_r, timestamp,
                                                     imu=imu)
@@ -181,6 +201,7 @@ class System:
 
     def track_monocular(self, gray: np.ndarray, timestamp: float, imu=None):
         """Monocular tracking (System::TrackMonocular role)."""
+        self._apply_viewer_controls()
         with self.timer.span("track"):
             state, pose = self.tracking.grab_mono(gray, timestamp, imu=imu)
         with self.timer.span("backend"):
@@ -188,15 +209,39 @@ class System:
         self._update_viewer(gray, state)
         return state, pose
 
+    def _apply_viewer_controls(self):
+        """Honor the interactive panel before processing a frame: block
+        while paused (step releases one frame), then apply the menu
+        toggles (Viewer.cc:176-308 / Tracking.cc step-by-step)."""
+        c = self.viewer_controls
+        if c is None or c.stopped:
+            return
+        c.gate()
+        if c.consume_reset():
+            self.reset()
+        if c.localization != self.tracking.only_tracking:
+            if c.localization:
+                self.activate_localization_mode()
+            else:
+                self.deactivate_localization_mode()
+
     def _update_viewer(self, gray, state):
         if self.viewer is None or self.tracking.last_frame is None:
             return
+        c = self.viewer_controls
+        follow_center, view = None, "both"
+        if c is not None:
+            view = c.view
+            lf = self.tracking.last_frame
+            if c.follow and lf.R is not None:
+                follow_center = -lf.R.T @ lf.t
         with self.timer.span("viewer"):
             self.viewer.update(gray, self.tracking.last_frame, self.map,
                                trajectory=self.tracking.trajectory,
                                state_text=f"{state.name} | "
                                f"{self.map.num_keyframes()} KFs | "
-                               f"{self.map.num_points()} points")
+                               f"{self.map.num_points()} points",
+                               follow_center=follow_center, view=view)
 
     def _sync_active_map(self):
         """Tracking may have switched/created a map (Atlas): re-point the
@@ -416,6 +461,8 @@ class System:
     def shutdown(self):
         if self.loop_closing is not None:
             self.loop_closing.flush()  # finish any in-flight budgeted GBA
+        if self.viewer_server is not None:
+            self.viewer_server.close()
         if self.viewer is not None:
             self.viewer.close()
         return {
