@@ -50,8 +50,17 @@ def make_images(n):
 
 
 def bench_jax(images):
+    """Device-side throughput of the batched extract+match pipeline.
+
+    Timed by running ITERS data-dependent repeats inside ONE jitted
+    lax.scan, forcing completion with a scalar host fetch, and subtracting
+    one measured round trip — `jax.block_until_ready` does NOT fence
+    execution through the remote-device tunnel of this environment, and a
+    sync-per-iteration loop is queue/RTT-paced (it UNDERSTATED the device
+    by ~1.5x; see PERF.md "honest device timing")."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from xfeatslam_tpu.models import xfeat
     from xfeatslam_tpu.parallel import batched
@@ -60,19 +69,37 @@ def bench_jax(images):
     compute_dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
     params = xfeat.init_params(jax.random.PRNGKey(0))
 
-    @jax.jit
     def pipeline(images):
         out = batched.extract_batch(params, images, K, compute_dtype)
         res = batched.match_consecutive(out["desc"], out["valid"])
         return out["kpts"], out["desc"], res.idx, res.mask
 
+    @jax.jit
+    def loop(images):
+        def body(c, _):
+            o = pipeline(images + c * 1e-30)
+            s = sum(jnp.sum(leaf.astype(jnp.float32)) * 1e-30
+                    for leaf in jax.tree_util.tree_leaves(o))
+            return c + s, None
+        c, _ = lax.scan(body, jnp.float32(0), None, length=ITERS)
+        return c
+
+    rtt_probe = jax.jit(lambda v: v + 1.0)
     x = jnp.asarray(images)
+    float(loop(x))  # compile + warm
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(rtt_probe(jnp.float32(0)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[2]
+    best = None
     for _ in range(WARMUP):
-        jax.block_until_ready(pipeline(x))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        jax.block_until_ready(pipeline(x))
-    dt = (time.perf_counter() - t0) / ITERS
+        t0 = time.perf_counter()
+        float(loop(x))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    dt = max(best - rtt, 1e-9) / ITERS
     fps = len(images) / dt
     return fps, platform
 
@@ -109,12 +136,18 @@ def bench_torch_cpu(images, n_frames=2):
         return 2.8  # measured libtorch-CPU fps on the dev host
 
 
+_DISPATCH_COUNTER = None
+
+
 def _install_dispatch_counter():
     """Wrap every module-level jitted callable in the tracking compute path
     with a counting proxy — a dispatches-per-tracked-frame gauge for the
     online mode (each jitted call is >= 1 device round trip; through the
     axon tunnel each RTT is ~15-30 ms, which is what bounds batch-1 fps
-    here). Returns the counter dict."""
+    here). Returns the counter dict. Idempotent: a second install (--mode
+    all runs two online benches) must reuse the live counter — re-wrapping
+    skips the already-wrapped callables and would silently count zero."""
+    global _DISPATCH_COUNTER
     import jax
 
     from xfeatslam_tpu.models import extractor, orb, xfeat
@@ -122,8 +155,13 @@ def _install_dispatch_counter():
     from xfeatslam_tpu.optim import (inertial, local_ba, pnp, pose_opt,
                                      sim3, track_step, two_view)
 
+    if _DISPATCH_COUNTER is not None:
+        _DISPATCH_COUNTER["n"] = 0
+        return _DISPATCH_COUNTER
+
     jit_type = type(jax.jit(lambda: 0))
     counter = {"n": 0}
+    _DISPATCH_COUNTER = counter
     mods = [extractor, orb, xfeat, camera, detect, geometry, imu, matching,
             inertial, local_ba, pnp, pose_opt, sim3, track_step, two_view]
     for mod in mods:
