@@ -330,6 +330,177 @@ class TestFullInertialBA:
         assert full_old < 0.4 * win_old, (full_old, win_old)
 
 
+class TestMergeInertialBA:
+    """MergeInertialBA (/root/reference/src/Optimizer.cc:3948): two temporal
+    windows around a map weld — Nd=6 back from the current KF, Nd/2 before
+    the merge KF extended with next-KFs — all free, one fixed anchor per
+    window, coupled through shared welding-region landmarks."""
+
+    def _dummy_kf(self, kid, prev):
+        from xfeatslam_tpu.slam.map import KeyFrame
+
+        z4 = np.zeros(4, np.float32)
+        kf = KeyFrame(
+            kid=kid, frame_id=kid, timestamp=float(kid),
+            kpts_un=np.zeros((4, 2), np.float32),
+            desc=np.zeros((4, 64), np.float32),
+            valid=np.zeros(4, bool), ur=z4 - 1.0, depth=z4,
+            R=I3.copy(), t=np.zeros(3, np.float32),
+        )
+        kf.prev_kf = prev
+        return kf
+
+    def test_window_structure(self):
+        """The free chain must be [Nd/2 window at the merge KF + forward
+        extension] + [Nd window at the current KF], with the predecessor of
+        each window fixed (Optimizer.cc:3962-4034)."""
+        from xfeatslam_tpu.ops.imu import ImuCalib
+        from xfeatslam_tpu.slam.local_mapping import LocalMapping
+        from xfeatslam_tpu.slam.map import SlamMap
+
+        calib = ImuCalib(noise_gyro=1e-3, noise_acc=1e-2, walk_gyro=1e-6,
+                         walk_acc=1e-5, R_bc=I3, t_bc=np.zeros(3, np.float32))
+        m = SlamMap(desc_dim=64)
+        # old-map chain 0..7, moved-map chain 8..19 (disjoint after a weld)
+        for k in range(8):
+            m.keyframes[k] = self._dummy_kf(k, k - 1)
+        for k in range(8, 20):
+            m.keyframes[k] = self._dummy_kf(k, -1 if k == 8 else k - 1)
+        lm = LocalMapping(m, CAM, bf=0.0, imu_calib=calib, mono=True)
+        calls = []
+        lm._local_inertial_ba = lambda kid, **kw: calls.append((kid, kw))
+
+        lm.merge_inertial_ba(19, 7)
+        (kid, kw), = calls
+        assert kid == 19
+        assert kw["chain_override"] == [5, 6, 7, 14, 15, 16, 17, 18, 19]
+        assert kw["force_fixed"] == [4, 13]
+        assert kw["fix_anchor"] is False
+
+        # merge KF mid-chain: the merge window extends forward with
+        # next-KFs (pMergeKF->mNextKF walk, Optimizer.cc:4017-4033)
+        calls.clear()
+        lm.merge_inertial_ba(19, 4)
+        (kid, kw), = calls
+        assert kw["chain_override"] == [2, 3, 4, 5, 6, 7,
+                                        14, 15, 16, 17, 18, 19]
+        assert kw["force_fixed"] == [1, 13]
+
+        # chain with no predecessor: the oldest state is demoted to a
+        # fixed pose anchor (Optimizer.cc:4010-4014)
+        calls.clear()
+        lm.merge_inertial_ba(13, 2)
+        (kid, kw), = calls
+        assert kw["chain_override"] == [1, 2, 3, 4, 5, 9, 10, 11, 12, 13]
+        assert kw["force_fixed"] == [0, 8]
+
+    def test_weld_refinement(self, rng):
+        """Functional: a welded 13-KF scene whose moved-side states carry a
+        residual gravity-consistent misalignment (yaw + translation — what
+        survives the Sim3 weld). The two-window solve must pull the moved
+        side back onto the welding-region landmarks through the fixed
+        anchor + IMU edges."""
+        from xfeatslam_tpu.ops.imu import ImuCalib, Preintegrated
+        from xfeatslam_tpu.slam.local_mapping import LocalMapping
+        from xfeatslam_tpu.slam.map import KeyFrame, SlamMap
+
+        n_kf = 13
+        split = 6  # KFs 0..5 = old map; 6..12 = moved map (chain cut at 6)
+        traj = make_imu_trajectory(n_kf=n_kf, g_dir=np.array([0, 0, -1.0]))
+        pres = preintegrate_segments(traj)
+
+        banks = []
+        for k in range(n_kf - 1):
+            Xg, _uv = _visual_edges(rng, traj["R_wb"][k], traj["p_wb"][k],
+                                    n=60, noise=0.0)
+            banks.append(Xg)
+
+        def project(Xw, R_wb, p_wb):
+            R_cw, t_cw = inertial.np_body_to_cam(R_wb, p_wb, I3,
+                                                 np.zeros(3, np.float32))
+            Xc = Xw @ R_cw.T + t_cw
+            z = np.maximum(Xc[:, 2], 1e-6)
+            return np.stack([517.3 * Xc[:, 0] / z + 318.6,
+                             516.5 * Xc[:, 1] / z + 255.3], -1), Xc[:, 2] > 0.2
+
+        # residual weld error: 3 deg yaw (gravity-invariant) + 8 cm, on
+        # the moved FREE states (7..12); anchor 6 holds the welded frame
+        yaw = np.deg2rad(3.0)
+        cz, sz = np.cos(yaw), np.sin(yaw)
+        R_off = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]], np.float32)
+        t_off = np.array([0.08, -0.05, 0.03], np.float32)
+        c0 = traj["p_wb"][7].astype(np.float32)
+
+        def perturbed(k):
+            if k < 7:
+                return (traj["R_wb"][k].astype(np.float32),
+                        traj["p_wb"][k].astype(np.float32),
+                        traj["v_w"][k].astype(np.float32))
+            R = (R_off @ traj["R_wb"][k]).astype(np.float32)
+            p = (R_off @ (traj["p_wb"][k] - c0) + c0 + t_off).astype(
+                np.float32)
+            v = (R_off @ traj["v_w"][k]).astype(np.float32)
+            return R, p, v
+
+        m = SlamMap(desc_dim=64)
+        m.imu_initialized = True
+        K_slots = 128
+        mp_of = {}
+        for k in range(n_kf):
+            obs_uv, obs_key = [], []
+            for b in ([k - 1] if k > 0 else []) + (
+                    [k] if k < n_kf - 1 else []):
+                uv, vis = project(banks[b], traj["R_wb"][k],
+                                  traj["p_wb"][k])
+                for j in np.nonzero(vis)[0]:
+                    if len(obs_uv) >= K_slots:
+                        break
+                    obs_uv.append(uv[j])
+                    obs_key.append((b, int(j)))
+            kpts = np.zeros((K_slots, 2), np.float32)
+            valid = np.zeros(K_slots, bool)
+            kpts[: len(obs_uv)] = np.asarray(obs_uv, np.float32)
+            valid[: len(obs_uv)] = True
+            R_wb, p_wb, v_w = perturbed(k)
+            R_cw, t_cw = inertial.np_body_to_cam(R_wb, p_wb, I3,
+                                                 np.zeros(3, np.float32))
+            kf = KeyFrame(
+                kid=k, frame_id=k, timestamp=float(traj["t_kf"][k]),
+                kpts_un=kpts, desc=np.zeros((K_slots, 64), np.float32),
+                valid=valid, ur=np.full(K_slots, -1.0, np.float32),
+                depth=np.zeros(K_slots, np.float32), R=R_cw, t=t_cw,
+            )
+            kf.prev_kf = -1 if k in (0, split) else k - 1
+            if k not in (0, split):
+                kf.pre_kf = Preintegrated(
+                    *[np.asarray(f) for f in pres[k - 1]])
+            kf.vel = v_w
+            m.keyframes[k] = kf
+            m.covis.setdefault(k, {})
+            if m.kf_origin is None:
+                m.kf_origin = k
+            for slot, key in enumerate(obs_key):
+                if key not in mp_of:
+                    mp_of[key] = m.create_point(
+                        banks[key[0]][key[1]].astype(np.float32),
+                        np.zeros(64, np.float32), k)
+                m.add_observation(mp_of[key], k, slot, update_links=False)
+            m.update_connections(k)
+
+        calib = ImuCalib(noise_gyro=1e-3, noise_acc=1e-2, walk_gyro=1e-6,
+                         walk_acc=1e-5, R_bc=I3, t_bc=np.zeros(3, np.float32))
+        lm = LocalMapping(m, CAM, bf=0.0, imu_calib=calib, mono=True)
+
+        moved = range(7, n_kf)
+        err0 = max(np.linalg.norm(m.keyframes[k].center() - traj["p_wb"][k])
+                   for k in moved)
+        lm.merge_inertial_ba(n_kf - 1, split - 1)
+        err1 = max(np.linalg.norm(m.keyframes[k].center() - traj["p_wb"][k])
+                   for k in moved)
+        assert err0 > 0.05  # the perturbation was real
+        assert err1 < 0.5 * err0, (err0, err1)
+
+
 class TestLocalInertialBA:
     def test_improves_perturbed_window(self, rng):
         traj = make_imu_trajectory(n_kf=6)

@@ -15,7 +15,7 @@ window BA (optim/viba.py), and (inertial-aware) keyframe culling.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +32,10 @@ BA_MAX_OBS = 16384
 # /root/reference/src/Optimizer.cc:2383)
 IBA_MAX_KFS = 8  # temporal chain window
 IBA_MAX_KFS_TOTAL = 16  # chain + fixed out-of-window observers
+# MergeInertialBA: 2*Nd=12 free states + 2 window anchors + covisible fixed
+# observers (the reference allows up to maxCovKF=30, Optimizer.cc:3956;
+# merges are rare so the one-off compile at this bucket is acceptable)
+MERGE_IBA_SLOTS = 24
 IBA_MAX_PTS = 2048
 IBA_MAX_OBS = 4096
 # FullInertialBA backstops (whole-chain mode buckets to powers of two up to
@@ -450,7 +454,10 @@ class LocalMapping:
 
     def _local_inertial_ba(self, kid: int, window: int = IBA_MAX_KFS,
                            fix_anchor: bool = True,
-                           full_chain: bool = False):
+                           full_chain: bool = False,
+                           chain_override: Optional[List[int]] = None,
+                           force_fixed: Sequence[int] = (),
+                           total_slots: int = IBA_MAX_KFS_TOTAL):
         """Joint visual-inertial window BA (optim/viba.py): the temporal
         chain's body states AND the window landmarks in one solve, plus
         fixed out-of-window observer states — the reference's
@@ -464,7 +471,16 @@ class LocalMapping:
         to FIBA_MAX_* with the cap LOGGED). Gravity pins roll/pitch + scale;
         the translation/yaw gauge is handled by LM damping. Run right after
         IMU initialization to pull the whole chain — including mono scale
-        drift in the oldest section — onto the IMU."""
+        drift in the oldest section — onto the IMU.
+
+        chain_override lets the caller supply the free-state list directly
+        (MergeInertialBA's two temporal windows around a map weld — see
+        merge_inertial_ba). IMU edges are only built between consecutive
+        entries that are actually prev_kf-linked, so disjoint runs inside
+        the list couple through shared landmarks, exactly like the two
+        g2o windows of /root/reference/src/Optimizer.cc:3948-4035.
+        force_fixed entries become fixed pose states (visual observations
+        only — the reference's per-window anchor KFs and lFixedKeyFrames)."""
         import jax.numpy as jnp
 
         from ..optim import viba
@@ -473,8 +489,11 @@ class LocalMapping:
 
         m = self.map
         cal = self.imu_calib
-        whole = self._kf_chain(kid)
-        chain = whole if full_chain else whole[-window:]
+        if chain_override is not None:
+            chain = list(chain_override)
+        else:
+            whole = self._kf_chain(kid)
+            chain = whole if full_chain else whole[-window:]
         T = len(chain)
         if T < 3:
             return
@@ -506,20 +525,34 @@ class LocalMapping:
         if len(pt_ids) < 20:
             return
         # fixed observers outside the window (none in full-chain mode: the
-        # chain IS the whole inertial map)
+        # chain IS the whole inertial map), ranked by how many optimized
+        # landmarks each observes — the budget goes to the STRONGEST
+        # covisible anchors, not whatever iteration order yields (the
+        # reference fixes every observer up to maxFixKF=200,
+        # Optimizer.cc:2383; here the solve is statically shaped, so the
+        # slots must go to the best-anchoring states)
         chain_set = set(chain)
-        fixed_ids: List[int] = []
+        fixed_ids: List[int] = [k for k in force_fixed
+                                if k in m.keyframes and k not in chain_set]
         if not full_chain:
+            counts: Dict[int, int] = {}
             for mp in pt_ids:
                 for k in m.obs.get(mp, {}):
-                    if (k not in chain_set and k not in fixed_ids
-                            and T + len(fixed_ids) < IBA_MAX_KFS_TOTAL):
-                        fixed_ids.append(k)
-                if T + len(fixed_ids) >= IBA_MAX_KFS_TOTAL:
-                    break
+                    if k not in chain_set and k not in fixed_ids:
+                        counts[k] = counts.get(k, 0) + 1
+            budget = max(total_slots - T - len(fixed_ids), 0)
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            fixed_ids += [k for k, _ in ranked[:budget]]
+            if len(counts) > budget:
+                verbose.print_mess(
+                    f"LocalInertialBA: fixed-observer cap — anchoring on "
+                    f"the {budget} strongest of {len(counts)} "
+                    "out-of-window observers", verbose.Level.VERBOSE)
+        if not full_chain:
+            fixed_ids = fixed_ids[:max(total_slots - T, 0)]
         cam_ids = chain + fixed_ids
         cam_index = {k: i for i, k in enumerate(cam_ids)}
-        Kp = _bucket(len(cam_ids), lo=8) if full_chain else IBA_MAX_KFS_TOTAL
+        Kp = _bucket(len(cam_ids), lo=8) if full_chain else total_slots
 
         R_wb = np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))
         p_wb = np.zeros((Kp, 3), np.float32)
@@ -668,6 +701,56 @@ class LocalMapping:
             if m.points.alive[mp]:
                 m.update_point(mp)
         m.change_index += 1
+
+    # -- MergeInertialBA (/root/reference/src/Optimizer.cc:3948) ------------
+
+    def merge_inertial_ba(self, curr_kid: int, merge_kid: int):
+        """Visual-inertial BA over the map-weld region: TWO temporal windows
+        — Nd=6 keyframes back from the current KF, plus Nd/2 before the
+        matched (merge) KF extended forward with next-KFs until 2*Nd total
+        states — all free, anchored by the fixed KF before each window
+        (/root/reference/src/Optimizer.cc:3948-4035; called from
+        LoopClosing.cc:2051 after an inertial map merge).
+
+        After merge_maps the two prev_kf chains stay disjoint (the weld
+        links maps by covisibility, not by IMU edge), so the solve couples
+        the windows through the fused welding-region landmarks and the
+        covisible fixed observers — the same structure as the reference's
+        g2o graph. When a window has no predecessor, its oldest state is
+        demoted to a fixed pose anchor (the reference does exactly this,
+        Optimizer.cc:4010-4014)."""
+        m = self.map
+        if curr_kid not in m.keyframes or merge_kid not in m.keyframes:
+            return
+        Nd = 6
+        chain_a = self._kf_chain(curr_kid)
+        win_a = chain_a[-Nd:]
+        anchor_a = chain_a[-Nd - 1] if len(chain_a) > Nd else None
+        chain_b = self._kf_chain(merge_kid)
+        win_b = chain_b[-(Nd // 2):]
+        anchor_b = chain_b[-(Nd // 2) - 1] if len(chain_b) > Nd // 2 else None
+        # extend the merge window forward (pMergeKF->mNextKF walk)
+        nxt = {kf.prev_kf: k for k, kf in m.keyframes.items()
+               if kf.prev_kf >= 0}
+        seen = set(win_a) | set(win_b)
+        while len(win_a) + len(win_b) < 2 * Nd:
+            nk = nxt.get(win_b[-1])
+            if nk is None or nk in seen:
+                break
+            win_b.append(nk)
+            seen.add(nk)
+        # anchor-less window: demote its oldest state to a fixed pose
+        if anchor_a is None and len(win_a) > 1:
+            anchor_a = win_a.pop(0)
+        if anchor_b is None and len(win_b) > 1:
+            anchor_b = win_b.pop(0)
+        anchors = [a for a in (anchor_b, anchor_a) if a is not None]
+        chain = win_b + win_a
+        if len(chain) < 3:
+            return
+        self._local_inertial_ba(
+            curr_kid, chain_override=chain, force_fixed=anchors,
+            fix_anchor=not anchors, total_slots=MERGE_IBA_SLOTS)
 
     # -- MapPointCulling (/root/reference/src/LocalMapping.cc:346-385) ------
 

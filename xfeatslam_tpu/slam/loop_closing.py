@@ -75,9 +75,9 @@ class LoopClosing:
         self.detected: List[tuple] = []  # (kid, cand) raw candidates
         self.closed: List[tuple] = []  # (kid, cand) corrected loops
         self.merged: List[tuple] = []  # (new_map_id, old_map_id)
-        # MergeInertialBA hook (LoopClosing.cc:2055): System wires this to
-        # LocalMapping's joint visual-inertial window solve; called with the
-        # welded keyframe id after an inertial merge
+        # MergeInertialBA hook (LoopClosing.cc:2051): System wires this to
+        # LocalMapping.merge_inertial_ba; called with (welded current kid,
+        # matched old-map kid) after an inertial merge
         self.welding_iba = None
         # temporal consistency: (candidate covisibility group, count, stamp)
         self._consistent: List[Tuple[set, int, int]] = []
@@ -898,10 +898,11 @@ class LoopClosing:
         self.map = m_old
         self._fuse_weld(new_kid, ckid)
         if m_old.imu_initialized and self.welding_iba is not None:
-            # MergeInertialBA (LoopClosing.cc:2055 -> Optimizer.cc:4154):
-            # joint visual-inertial refinement of the welding window instead
-            # of a visual GBA (the inertial chain must stay consistent)
-            self.welding_iba(new_kid)
+            # MergeInertialBA (LoopClosing.cc:2051 -> Optimizer.cc:3948):
+            # joint visual-inertial refinement of the two temporal windows
+            # around the weld instead of a visual GBA (the inertial chain
+            # must stay consistent)
+            self.welding_iba(new_kid, ckid)
         elif self.run_gba:
             self.global_bundle_adjust()
         # atlas: old map becomes active; new map dissolves. The remap record

@@ -162,14 +162,14 @@ class System:
             )
             if self.loop_closing is not None and self.imu_calib is not None:
                 # MergeInertialBA: after an inertial map weld, refine the
-                # welding window jointly with the IMU chain. The hook fires
-                # mid-merge, before _run_backend rebinds maps — point
-                # local_mapping at the welded map first.
-                def _welding_iba(kid):
+                # two temporal windows around the weld jointly with the IMU
+                # chains (Optimizer.cc:3948). The hook fires mid-merge,
+                # before _run_backend rebinds maps — point local_mapping at
+                # the welded map first.
+                def _welding_iba(kid, merge_kid):
                     self.local_mapping.map = self.loop_closing.map
                     self.local_mapping._ba_session = None
-                    self.local_mapping._local_inertial_ba(
-                        kid, window=16, fix_anchor=True)
+                    self.local_mapping.merge_inertial_ba(kid, merge_kid)
 
                 self.loop_closing.welding_iba = _welding_iba
 
@@ -329,6 +329,7 @@ class System:
     def deactivate_localization_mode(self):
         self._mapping_paused = False
         self.tracking.only_tracking = False
+        self.tracking.vo_mode = False
 
     def reset(self):
         """System::Reset role: clear everything, restart with a fresh map."""
