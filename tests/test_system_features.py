@@ -270,6 +270,61 @@ class TestLocalizationMode:
             system.deactivate_localization_mode()
             tr._need_new_keyframe = orig_policy
 
+    def test_vo_fallback_off_map(self):
+        """mbVO visual-odometry fallback (/root/reference/src/
+        Tracking.cc:1996-2035, 2861-2890): in localization mode, leaving
+        the mapped region must NOT lose tracking — the tracker dead-reckons
+        on temporal depth points (map matches < 10 sets vo_mode) while the
+        map stays untouched. Without the fallback this yaw sweep goes LOST
+        (no map point remains in view)."""
+        scene = synthetic.RoomScene(seed=3)
+        K = np.array([[517.3, 0, 318.6], [0, 516.5, 255.3], [0, 0, 1]],
+                     np.float32)
+        hw = (480, 640)
+        settings = Settings(
+            cam=Pinhole.from_list([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
+            bf=40.0, th_depth=3.0, depth_map_factor=1.0,
+        )
+        system = System(settings, Sensor.RGBD, backend="orb")
+
+        # mapping phase: 6 frames looking +z at the back wall
+        map_poses = synthetic.orbit_trajectory(6)
+        for i, (R, t) in enumerate(map_poses):
+            img, dep = scene.render(K, R, t, hw)
+            state, _ = system.track_rgbd(img, dep, i / 30.0)
+        assert state.name == "OK"
+        system.activate_localization_mode()
+        kfs_before = system.map.num_keyframes()
+        mps_before = system.map.num_points()
+
+        # localization phase: yaw 3 deg/frame toward the side wall (+x) —
+        # after ~70 deg none of the mapped back-wall region is in view
+        R5, t5 = map_poses[5]
+        C5 = -R5.T @ t5
+        vo_seen = False
+        states = []
+        for j in range(1, 25):
+            yaw = np.deg2rad(3.0 * j)
+            cy, sy = np.cos(yaw), np.sin(yaw)
+            R_wc = R5.T @ np.array(
+                [[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+            R_cw = R_wc.T.astype(np.float32)
+            t_cw = (-R_cw @ C5).astype(np.float32)
+            img, dep = scene.render(K, R_cw, t_cw, hw)
+            state, pose = system.track_rgbd(img, dep, (5 + j) / 30.0)
+            states.append(state.name)
+            vo_seen = vo_seen or system.tracking.vo_mode
+            if pose is not None:
+                C_est = -pose[0].T @ pose[1]
+                assert np.linalg.norm(C_est - C5) < 0.15, (j, C_est, C5)
+        assert "LOST" not in states, states
+        assert states[-1] == "OK", states
+        assert vo_seen  # the sweep actually left the map
+        assert system.map.num_keyframes() == kfs_before
+        assert system.map.num_points() == mps_before
+        system.deactivate_localization_mode()
+        assert system.tracking.vo_mode is False
+
 
 class TestLiveViewer:
     def test_live_files_and_gif(self, tracked_system, tmp_path):

@@ -167,6 +167,10 @@ class Tracking:
         # /root/reference/src/Tracking.cc:1936-2050): pose tracking runs but
         # keyframe insertion / map growth is disabled
         self.only_tracking = False
+        # mbVO (Tracking.cc:1996-2035): in localization mode, true when the
+        # last pose solve held fewer than 10 MAP-point inliers — tracking
+        # is dead-reckoning on temporal depth points off the mapped area
+        self.vo_mode = False
         # track-time trajectory log (timestamp, R, t, state) — live
         # consumers (viewer); savers use resolved_trajectory() instead
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray, State]] = []
@@ -295,7 +299,27 @@ class Tracking:
                     if ok:
                         self.stats["reloc_ok"] = self.stats.get("reloc_ok", 0) + 1
 
-            if ok:
+            if self.only_tracking and self.vo_mode:
+                # mbVO (Tracking.cc:1996-2035): the map is unavailable —
+                # dead-reckon on temporal points while ALSO trying to
+                # relocalize every frame; a reloc success re-attaches
+                mm = None
+                if ok and frame.R is not None:
+                    mm = (frame.R.copy(), frame.t.copy(),
+                          frame.mp_ids.copy(), frame.inlier.copy(),
+                          self.map)
+                if self._relocalization(frame):
+                    self.vo_mode = False
+                    ok = True
+                elif mm is not None:
+                    # keep the motion-model result — a failed reloc attempt
+                    # mutates the frame mid-flight (the reference restores
+                    # TcwMM the same way, Tracking.cc:2012-2023)
+                    frame.R, frame.t, frame.mp_ids, frame.inlier, m_mm = mm
+                    if self.map is not m_mm and self.atlas is not None:
+                        self.atlas.change_map(m_mm.map_id)
+                        self.map = m_mm
+            if ok and not (self.only_tracking and self.vo_mode):
                 ok = self._track_local_map(frame)
                 if not ok:
                     self.stats["local_fail"] += 1
@@ -713,14 +737,31 @@ class Tracking:
             bound = (last.mp_ids >= 0) & last.inlier
             ids = np.where(bound, last.mp_ids, 0)
             valid_mp = bound & self.map.points.alive[ids]
+            pos = self.map.points.pos[ids]
+            desc_c = self.map.points.desc[ids]
+            angle_c = self.map.points.angle[ids]
+            if self.only_tracking:
+                vo = self._vo_candidates(last, ~valid_mp)
+                if vo is not None:
+                    vo_mask, vo_pos = vo
+                    pos = np.where(vo_mask[:, None], vo_pos, pos)
+                    desc_c = np.where(vo_mask[:, None], last.desc, desc_c)
+                    angle_c = np.where(vo_mask, last.angle, angle_c)
+                    valid_mp = valid_mp | vo_mask
             frame.mp_ids = np.full_like(frame.mp_ids, -1)
             inl = self._fused_step(
-                frame, self.map.points.pos[ids], self.map.points.desc[ids],
-                valid_mp, self.map.points.angle[ids], last.octave,
+                frame, pos, desc_c,
+                valid_mp, angle_c, last.octave,
                 np.where(bound, last.mp_ids, -1),
                 radius=self.cfg.motion_radius,
                 widen_below=self.cfg.min_inliers_motion,
             )
+            if self.only_tracking:
+                # mbVO: fewer than 10 of the inliers are real MAP points —
+                # the solve is riding temporal depth points
+                # (TrackWithMotionModel, Tracking.cc:2963-2970)
+                self.vo_mode = int(
+                    ((frame.mp_ids >= 0) & frame.inlier).sum()) < 10
             if self._last_n_matched < self.cfg.min_inliers_motion:
                 return False
             return inl >= 10
@@ -756,6 +797,28 @@ class Tracking:
             return False
         inl = self._pose_optimize(frame)
         return inl >= 10
+
+    def _vo_candidates(self, last: Frame, free: np.ndarray):
+        """Visual-odometry temporal points for localization mode: last-frame
+        slots with measured depth but no surviving map binding become
+        one-shot 3D candidates, unprojected at the last pose — the
+        reference's mlpTemporalPoints (UpdateLastFrame,
+        /root/reference/src/Tracking.cc:2861-2890). They enter the
+        motion-model candidate set with map id -1: they steer the pose
+        solve off the mapped area but never bind into the map. Returns
+        (slot mask, world positions) or None."""
+        if last.R is None or self.sensor not in ("rgbd", "stereo"):
+            return None
+        vo_mask = (free & last.valid & (last.depth > 0)
+                   & (last.depth < self.cfg.th_depth))
+        if not vo_mask.any():
+            return None
+        z = last.depth
+        x = (last.kpts_un[:, 0] - self.cam.cx) / self.cam.fx * z
+        y = (last.kpts_un[:, 1] - self.cam.cy) / self.cam.fy * z
+        Xc = np.stack([x, y, z], -1).astype(np.float32)
+        Xw = (Xc - last.t) @ last.R  # R_cw^T (Xc - t_cw), row form
+        return vo_mask, Xw.astype(np.float32)
 
     def _track_reference_keyframe(self, frame: Frame) -> bool:
         """TrackReferenceKeyFrame (/root/reference/src/Tracking.cc:2747):
