@@ -6,8 +6,9 @@ CLI-compatible with the reference binary
 
     python examples/rgbd_tum.py <settings.yaml> <sequence_dir> <association_file>
 
-plus `--synthetic N` to run on the built-in synthetic room sequence when no
-dataset is available. Writes CameraTrajectory.txt and
+Per-dataset calibrations ship under examples/configs/ (tum1_rgbd.yaml,
+tum2_rgbd.yaml, tum3_rgbd.yaml), plus `--synthetic N` to run on the
+built-in synthetic room sequence when no dataset is available. Writes CameraTrajectory.txt and
 KeyFrameTrajectory.txt in TUM format (rgbd_tum.cc:142-143) and prints
 median/mean tracking time (rgbd_tum.cc:131-139).
 """
