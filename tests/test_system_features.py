@@ -326,6 +326,34 @@ class TestLocalizationMode:
         assert system.tracking.vo_mode is False
 
 
+class TestFarPointCut:
+    def test_th_far_points_gates_creation(self):
+        """System.thFarPoints (/root/reference/src/Settings.cc:479): depth
+        readings beyond the threshold must never become map points."""
+        seq = synthetic.make_sequence(n_frames=4)
+        K = seq["K"]
+        settings = Settings(
+            cam=Pinhole.from_list([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
+            bf=40.0, th_depth=3.0, depth_map_factor=1.0,
+        )
+        settings.th_far_points = 2.0
+        system = System(settings, Sensor.RGBD, backend="orb")
+        for i in range(4):
+            system.track_rgbd(seq["images"][i], seq["depths"][i],
+                              seq["timestamps"][i])
+        m = system.map
+        alive = np.nonzero(m.points.alive[: m.points.n])[0]
+        assert len(alive) > 50
+        # every landmark's depth in its first observer's camera frame
+        for kid, kf in m.keyframes.items():
+            sel = kf.mp_ids >= 0
+            if not sel.any():
+                continue
+            Xw = m.points.pos[kf.mp_ids[sel]]
+            z = (Xw @ kf.R.T + kf.t)[:, 2]
+            assert z.max() < 2.05, (kid, z.max())  # small pose-error slack
+
+
 class TestLiveViewer:
     def test_live_files_and_gif(self, tracked_system, tmp_path):
         """LiveViewer (utils/viewer.py, the reference Viewer-thread role):

@@ -113,6 +113,7 @@ class System:
             depth_factor=settings.depth_map_factor,
         )
         cfg = TrackerConfig(fps=settings.fps, th_depth=settings.th_depth,
+                            th_far_points=settings.th_far_points,
                             binary=profile.binary, th_high=profile.th_high,
                             th_low=profile.th_low,
                             n_levels=n_levels, scale_factor=scale_factor,

@@ -86,6 +86,9 @@ class State(enum.Enum):
 class TrackerConfig:
     fps: float = 30.0
     th_depth: float = 3.0  # Stereo.ThDepth * baseline, meters (close-point cut)
+    # System.thFarPoints (Settings.cc:479): depth readings beyond this never
+    # become map points (noisy far depth pollutes RGB-D maps); None = off
+    th_far_points: Optional[float] = None
     min_init_points: int = 300  # StereoInitialization gate (Tracking.cc:2362
     # gates N>500, but reference N counts PADDED slots == nfeatures, i.e. the
     # gate always passes there; 300 real detections is the honest analogue)
@@ -389,6 +392,8 @@ class Tracking:
         >500 valid keypoints; every depth-carrying keypoint becomes a map
         point; frame pose = identity."""
         has_depth = frame.valid & (frame.depth > 0)
+        if self.cfg.th_far_points is not None:
+            has_depth &= frame.depth < self.cfg.th_far_points
         if frame.n_valid <= self.cfg.min_init_points or has_depth.sum() < 100:
             return False
         frame.R = np.eye(3, dtype=np.float32)
@@ -1126,6 +1131,8 @@ class Tracking:
         ray = np.asarray(camera_ops.pinhole_unproject(self.cam, jnp.asarray(frame.kpts_un)))
         R_wc, t_wc = frame.R.T, -frame.R.T @ frame.t
         free = frame.valid & (frame.mp_ids < 0) & (frame.depth > 0)
+        if self.cfg.th_far_points is not None:
+            free &= frame.depth < self.cfg.th_far_points
 
         # project the last local-map snapshot; suppress creation near any
         # existing (even currently unmatched) landmark projection
