@@ -326,6 +326,49 @@ class TestLocalizationMode:
         assert system.tracking.vo_mode is False
 
 
+class TestFusedFrameStep:
+    def test_fused_path_engages_and_split_fallback_agrees(self):
+        """The speculative single-dispatch frame step (two_stage_track_step:
+        TrackWithMotionModel + TrackLocalMap in one graph) must carry
+        steady-state tracking, and disabling it (= permanent fallback to
+        the split two-dispatch path) must produce the same-quality
+        trajectory — the fused path is a dispatch optimization, not a
+        behavior change."""
+        seq = synthetic.make_sequence(n_frames=8)
+        K = seq["K"]
+
+        def run(disable_fused):
+            settings = Settings(
+                cam=Pinhole.from_list([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
+                bf=40.0, th_depth=3.0, depth_map_factor=1.0,
+            )
+            system = System(settings, Sensor.RGBD, backend="orb")
+            n_fused = [0]
+            orig = system.tracking._track_frame_fused
+            def spy(frame):
+                if disable_fused:
+                    return None
+                r = orig(frame)
+                n_fused[0] += r is True
+                return r
+            system.tracking._track_frame_fused = spy
+            for i in range(8):
+                state, _ = system.track_rgbd(
+                    seq["images"][i], seq["depths"][i], seq["timestamps"][i])
+            assert state.name == "OK"
+            tr = np.array([-f[1].T @ f[2]
+                           for f in system.tracking.trajectory])
+            gt = np.array([-R.T @ t for (R, t) in seq["poses"][: len(tr)]])
+            return float(np.linalg.norm(tr - gt, axis=1).max()), n_fused[0]
+
+        err_fused, n_fused = run(disable_fused=False)
+        err_split, n_split = run(disable_fused=True)
+        assert n_fused >= 6, n_fused  # engaged on steady-state frames
+        assert n_split == 0
+        assert err_fused < 0.005, err_fused
+        assert err_split < 0.005, err_split
+
+
 class TestFarPointCut:
     def test_th_far_points_gates_creation(self):
         """System.thFarPoints (/root/reference/src/Settings.cc:479): depth

@@ -64,10 +64,7 @@ def _rotation_consistency(mp_angle, kpt_angle, idx, mask,
     return jnp.where(has_angle, mask & ok, mask)
 
 
-@functools.partial(jax.jit, static_argnames=("binary", "scale_gate",
-                                             "band_gate", "n_levels",
-                                             "widen"))
-def match_pose_step(
+def _match_pose_step_impl(
     R0, t0,
     # map-point side (M rows, padded)
     pos_w, mp_desc, valid_mp, mp_angle, mp_octave, dmin, dmax, normal,
@@ -169,3 +166,68 @@ def match_pose_step(
     )
     return TrackStepResult(res.R, res.t, slot_mp, res.inliers,
                            n_matched, res.num_inliers, vis & valid_mp)
+
+
+match_pose_step = functools.partial(
+    jax.jit, static_argnames=("binary", "scale_gate", "band_gate",
+                              "n_levels", "widen"))(_match_pose_step_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("binary", "n_levels"))
+def two_stage_track_step(
+    R0, t0,
+    # stage 1: motion-model candidates (last frame's bindings, M1 rows)
+    pos1, desc1, valid1, angle1, octave1, ids1,
+    # stage 2: local-map snapshot (M2 rows)
+    pos2, desc2, valid2, angle2, octave2, ids2, dmax2,
+    # frame side (N slots)
+    kpt_uv, kpt_desc, kpt_valid, kpt_angle, kpt_octave, obs_ur, inv_sigma2,
+    cam: Pinhole, bf,
+    radius1, radius2, max_dist, ratio, widen_below, scale_factor,
+    img_w, img_h,
+    binary: bool = False, n_levels: int = 1,
+):
+    """BOTH per-frame tracking stages — TrackWithMotionModel then
+    TrackLocalMap (/root/reference/src/Tracking.cc:2892,2987) — as ONE XLA
+    graph: one dispatch, one host round trip for the whole frame.
+
+    The motion stage's inlier bindings become the local stage's prior pose
+    edges in-graph (the split path ferries them through the host); the
+    local stage masks out snapshot rows whose map id stage 1 already bound.
+    The caller supplies the local snapshot SPECULATIVELY (voted from the
+    last frame's bindings) and falls back to the split two-dispatch path
+    when either stage under-delivers — so the fused path is a pure
+    fast-path, never a behavior change."""
+    N = kpt_uv.shape[0]
+    zeros1 = jnp.zeros(pos1.shape[0], jnp.float32)
+    no_prev = jnp.zeros((N, 3), jnp.float32)
+    r1 = _match_pose_step_impl(
+        R0, t0,
+        pos1, desc1, valid1, angle1, octave1,
+        zeros1, zeros1 + 1e9, jnp.zeros((pos1.shape[0], 3), jnp.float32),
+        kpt_uv, kpt_desc, kpt_valid, kpt_angle, kpt_octave, obs_ur,
+        inv_sigma2, jnp.ones(N, bool), no_prev, jnp.zeros(N, bool),
+        cam, bf, radius1, max_dist, ratio, widen_below, scale_factor,
+        img_w, img_h,
+        binary=binary, scale_gate=False, band_gate=False,
+        n_levels=n_levels, widen=True,
+    )
+    bound1 = (r1.slot_mp >= 0) & r1.inlier
+    prev_Xw = pos1[jnp.clip(r1.slot_mp, 0, None)]
+    bid = jnp.where(bound1, ids1[jnp.clip(r1.slot_mp, 0, None)], -1)
+    # snapshot rows already bound by stage 1 are not fresh candidates
+    # (valid2 rows carry ids >= 0, so the -1 sentinel never collides)
+    fresh2 = valid2 & ~jnp.any(ids2[:, None] == bid[None, :], axis=1)
+    zeros2 = jnp.zeros(pos2.shape[0], jnp.float32)
+    r2 = _match_pose_step_impl(
+        r1.R, r1.t,
+        pos2, desc2, fresh2, angle2, octave2,
+        zeros2, dmax2, jnp.zeros((pos2.shape[0], 3), jnp.float32),
+        kpt_uv, kpt_desc, kpt_valid, kpt_angle, kpt_octave, obs_ur,
+        inv_sigma2, ~bound1, prev_Xw, bound1,
+        cam, bf, radius2, max_dist, ratio, jnp.int32(0), scale_factor,
+        img_w, img_h,
+        binary=binary, scale_gate=True, band_gate=False,
+        n_levels=n_levels, widen=False,
+    )
+    return r1, r2

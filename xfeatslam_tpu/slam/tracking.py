@@ -285,14 +285,21 @@ class Tracking:
                 self._handle_lost_map(frame)
         else:
             ok = False
+            local_done = False
             if self.state == State.OK:
-                ok = self._track_with_motion_model(frame)
-                if ok:
-                    self.stats["motion_ok"] += 1
+                # fast path: both tracking stages in one dispatch; None
+                # falls back to the split path below
+                fused = self._track_frame_fused(frame)
+                if fused:
+                    ok = local_done = True
                 else:
-                    ok = self._track_reference_keyframe(frame)
+                    ok = self._track_with_motion_model(frame)
                     if ok:
-                        self.stats["refkf_ok"] += 1
+                        self.stats["motion_ok"] += 1
+                    else:
+                        ok = self._track_reference_keyframe(frame)
+                        if ok:
+                            self.stats["refkf_ok"] += 1
             elif self.state == State.RECENTLY_LOST:
                 ok = self._track_with_motion_model(frame)
                 if not ok:
@@ -322,7 +329,8 @@ class Tracking:
                     if self.map is not m_mm and self.atlas is not None:
                         self.atlas.change_map(m_mm.map_id)
                         self.map = m_mm
-            if ok and not (self.only_tracking and self.vo_mode):
+            if ok and not local_done and not (self.only_tracking
+                                              and self.vo_mode):
                 ok = self._track_local_map(frame)
                 if not ok:
                     self.stats["local_fail"] += 1
@@ -725,6 +733,87 @@ class Tracking:
         frame.mp_ids = np.where(inlier, frame.mp_ids, -1)
         self._last_n_matched = int(res.n_matched)
         return int(res.n_inliers)
+
+    def _track_frame_fused(self, frame: Frame) -> Optional[bool]:
+        """Speculative single-dispatch frame tracking: TrackWithMotionModel
+        AND TrackLocalMap in one XLA graph (optim/track_step.py
+        two_stage_track_step). The local-map snapshot is voted from the
+        LAST frame's bindings — consecutive frames share almost all of
+        them, and any shortfall is caught by the acceptance gates below.
+
+        Returns True on success, None to fall back to the split
+        (two-dispatch) path — which re-derives everything, so the fused
+        path can never change behavior, only save a device round trip.
+        Disabled for inertial mode (its pose solve is visual-inertial) and
+        localization mode (temporal VO candidates + per-frame reloc)."""
+        from ..optim import track_step
+
+        last = self.last_frame
+        if (self.imu_calib is not None or self.only_tracking
+                or last is None or last.R is None):
+            return None
+        ids = self._local_map_points(last)
+        if ids is None or len(ids) == 0:
+            return None
+        self._predict_pose(frame)
+        bound = (last.mp_ids >= 0) & last.inlier
+        safe1 = np.where(bound, last.mp_ids, 0)
+        valid1 = bound & self.map.points.alive[safe1]
+        ids1 = np.where(valid1, last.mp_ids, -1)
+        pos, desc, valid2, padded_ids = self.map.point_snapshot(
+            ids, LOCAL_MP_BUCKET)
+        safe2 = np.clip(padded_ids, 0, None)
+        r1, r2 = track_step.two_stage_track_step(
+            jnp.asarray(frame.R), jnp.asarray(frame.t),
+            jnp.asarray(self.map.points.pos[safe1]),
+            jnp.asarray(self.map.points.desc[safe1]),
+            jnp.asarray(valid1),
+            jnp.asarray(self.map.points.angle[safe1]),
+            jnp.asarray(last.octave.astype(np.int32)),
+            jnp.asarray(ids1.astype(np.int32)),
+            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid2),
+            jnp.asarray(self.map.points.angle[safe2]),
+            jnp.asarray(self.map.points.octave[safe2].astype(np.int32)),
+            jnp.asarray(padded_ids.astype(np.int32)),
+            jnp.asarray(self.map.points.dmax[safe2]),
+            jnp.asarray(frame.kpts_un), jnp.asarray(frame.desc),
+            jnp.asarray(frame.valid), jnp.asarray(frame.angle),
+            jnp.asarray(frame.octave.astype(np.int32)),
+            jnp.asarray(frame.ur), jnp.asarray(self._inv_sigma2(frame)),
+            self.cam, jnp.float32(self.pipeline.bf),
+            jnp.float32(self.cfg.motion_radius),
+            jnp.float32(self.cfg.local_radius),
+            jnp.float32(self.cfg.th_low if self.cfg.binary
+                        else self.cfg.th_high),
+            jnp.float32(0.9), jnp.int32(self.cfg.min_inliers_motion),
+            jnp.float32(self.cfg.scale_factor),
+            jnp.float32(2.0 * float(self.cam.cx)),
+            jnp.float32(2.0 * float(self.cam.cy)),
+            binary=self.cfg.binary, n_levels=self.cfg.n_levels,
+        )
+        r1, r2 = jax.device_get((r1, r2))
+        # acceptance gates: exactly the split path's motion + local criteria
+        if (int(r1.n_matched) < self.cfg.min_inliers_motion
+                or int(r1.n_inliers) < 10
+                or int(r2.n_inliers) < self.cfg.min_inliers_local):
+            return None
+        bound1 = (r1.slot_mp >= 0) & r1.inlier
+        new2 = (r2.slot_mp >= 0) & ~bound1
+        mp = np.where(
+            new2, padded_ids[np.clip(r2.slot_mp, 0, None)],
+            np.where(bound1, ids1[np.clip(r1.slot_mp, 0, None)], -1))
+        frame.mp_ids = np.where(r2.inlier, mp, -1)
+        frame.R = lie.np_normalize_rotation(r2.R)
+        frame.t = np.asarray(r2.t)
+        frame.inlier = r2.inlier
+        # bookkeeping parity with the split path
+        self._last_local_ids = np.asarray(ids)
+        self.map.points.visible[ids[self.map.points.alive[ids]]] += 1
+        found = frame.mp_ids[(frame.mp_ids >= 0) & frame.inlier]
+        self.map.points.found[found] += 1
+        self.matches_inliers = int(r2.n_inliers)
+        self.stats["motion_ok"] += 1
+        return True
 
     def _track_with_motion_model(self, frame: Frame) -> bool:
         """TrackWithMotionModel (/root/reference/src/Tracking.cc:2892):
