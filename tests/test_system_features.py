@@ -326,6 +326,43 @@ class TestLocalizationMode:
         assert system.tracking.vo_mode is False
 
 
+class TestChangeDataset:
+    def test_reset_and_freeze_branches(self):
+        """System::ChangeDataset (/root/reference/src/System.cc:1279-1293):
+        a barely-grown map (<12 KFs) is discarded and restarted; a grown
+        map is frozen in the Atlas and a new active map starts. Tracking
+        re-initializes in the new map."""
+        seq = synthetic.make_sequence(n_frames=8)
+        K = seq["K"]
+        settings = Settings(
+            cam=Pinhole.from_list([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
+            bf=40.0, th_depth=3.0, depth_map_factor=1.0,
+        )
+        system = System(settings, Sensor.RGBD, backend="orb")
+        for i in range(4):
+            system.track_rgbd(seq["images"][i], seq["depths"][i],
+                              seq["timestamps"][i])
+        old_id = system.map.map_id
+        assert system.map.num_keyframes() < 12  # small-map branch
+        system.change_dataset()
+        assert old_id not in system.atlas.maps  # discarded
+        assert system.tracking.state.name == "NOT_INITIALIZED"
+        assert system.map is system.atlas.active
+        assert system.local_mapping.map is system.map
+        # tracking re-initializes in the fresh map
+        state, _ = system.track_rgbd(seq["images"][4], seq["depths"][4],
+                                     100.0)
+        assert state.name == "OK"
+        assert system.map.num_keyframes() >= 1
+
+        # grown-map branch: freeze instead of discard
+        grown_id = system.map.map_id
+        system.map.num_keyframes = lambda: 20
+        system.change_dataset()
+        assert grown_id in system.atlas.maps  # frozen, not discarded
+        assert system.map.map_id != grown_id
+
+
 class TestFusedFrameStep:
     def test_fused_path_engages_and_split_fallback_agrees(self):
         """The speculative single-dispatch frame step (two_stage_track_step:

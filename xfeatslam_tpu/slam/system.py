@@ -318,6 +318,16 @@ class System:
             # tracker's last-frame pose on its reference KF
             self.tracking.reanchor_last_frame()
 
+    def change_dataset(self):
+        """System::ChangeDataset (/root/reference/src/System.cc:1279-1293):
+        between back-to-back sequences in ONE run — a barely-grown active
+        map (<12 KFs) is discarded and restarted, a grown one is frozen and
+        a new active map starts (multi-session Atlas; a later loop
+        detection can weld the sessions)."""
+        keep = self.map.num_keyframes() >= 12
+        self.tracking._switch_to_new_map(reset_current=not keep)
+        self._sync_active_map()
+
     def activate_localization_mode(self):
         """Tracking-only: stop map growth (System::ActivateLocalizationMode,
         /root/reference/src/System.cc:478). Both halves of the reference
