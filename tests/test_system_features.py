@@ -115,6 +115,79 @@ class TestTrajectoryFormats:
         k_lines = open(kitti).readlines()
         assert len(k_lines) == n and len(k_lines[0].split()) == 12
 
+    def test_keyframe_trajectory_euroc(self, tracked_system, tmp_path):
+        # System::SaveKeyFrameTrajectoryEuRoC (System.h:156,159): KF poses
+        # in EuRoC csv, optionally restricted to one atlas map
+        system, _ = tracked_system
+        p = str(tmp_path / "kf.csv")
+        system.save_keyframe_trajectory_euroc(p)
+        lines = open(p).readlines()
+        assert len(lines) == system.map.num_keyframes()
+        assert lines[0].count(",") == 7
+        p2 = str(tmp_path / "kf_map.csv")
+        system.save_keyframe_trajectory_euroc(p2, map_id=system.map.map_id)
+        assert open(p2).read() == open(p).read()
+
+    def test_per_map_frame_trajectory(self, tracked_system, tmp_path):
+        # SaveTrajectoryEuRoC(filename, pMap) — the single-map system must
+        # write the same file with and without the map filter, and an
+        # unknown map id writes an empty file
+        system, _ = tracked_system
+        a, b, c = (str(tmp_path / x) for x in ("a.csv", "b.csv", "c.csv"))
+        system.save_trajectory_euroc(a)
+        system.save_trajectory_euroc(b, map_id=system.map.map_id)
+        assert open(a).read() == open(b).read()
+        system.save_trajectory_euroc(c, map_id=999)
+        assert open(c).read() == ""
+
+
+class TestTrackedStateGetters:
+    def test_state_and_keypoints(self, tracked_system):
+        # System::GetTrackingState / GetTrackedKeyPointsUn / GetImageScale
+        system, _ = tracked_system
+        assert system.get_tracking_state().name == "OK"
+        kpts = system.get_tracked_keypoints_un()
+        assert kpts.ndim == 2 and kpts.shape[1] == 2 and len(kpts) > 0
+        assert system.get_image_scale() == 1.0
+
+    def test_tracked_map_points_bound(self, tracked_system):
+        # System::GetTrackedMapPoints: after a tracked frame, some slots
+        # bind to map points and every bound id exists in the map
+        system, _ = tracked_system
+        ids = system.get_tracked_map_points()
+        bound = ids[ids >= 0]
+        assert len(bound) > 0
+        store = system.map.points
+        assert store.alive[bound].all()
+
+    def test_debug_getters(self, tracked_system):
+        # System::MapChanged / isShutDown / isLost / GetTimeFromIMUInit
+        # (System.cc:490-501,564,1339-1359)
+        system, _ = tracked_system
+        system._last_big_change_idx = -1  # force: change pending
+        assert system.map_changed() is True
+        assert system.map_changed() is False  # one-shot until next change
+        system.map.change_index += 1
+        assert system.map_changed() is True
+        # visual-only system: isLost is gated on IMU initialization and
+        # time-from-imu-init is 0 before it
+        assert system.is_lost() is False
+        assert system.get_time_from_imu_init() == 0.0
+        system.map.imu_initialized = True
+        try:
+            ts = [k.timestamp for k in system.map.keyframes.values()]
+            assert system.get_time_from_imu_init() == max(ts) - min(ts)
+            from xfeatslam_tpu.slam.tracking import State
+            old = system.tracking.state
+            system.tracking.state = State.LOST
+            try:
+                assert system.is_lost() is True
+            finally:
+                system.tracking.state = old
+        finally:
+            system.map.imu_initialized = False
+        assert system.is_shutdown() is False
+
     def test_timing_dump(self, tracked_system, tmp_path):
         system, _ = tracked_system
         path = str(tmp_path / "ExecMean.txt")

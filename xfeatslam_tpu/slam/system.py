@@ -71,6 +71,8 @@ class System:
 
         self.timer = StageTimer()
         self._mapping_paused = False
+        self._last_big_change_idx = 0
+        self._is_shutdown = False
         self.settings = settings
         self.viewer = None
         self.viewer_controls = None
@@ -435,12 +437,18 @@ class System:
             self.loop_closing.retrieval = retr
             self.tracking.retrieval = retr
 
-    def save_trajectory_euroc(self, path: str):
+    def save_trajectory_euroc(self, path: str, map_id: int = None):
         """All three frame-trajectory savers re-base each frame onto the
         CURRENT pose of its reference keyframe (T_frame = T_rel * T_refKF)
         so corrections from local BA / loop closing / GBA reach the saved
-        file (System::SaveTrajectory*, /root/reference/src/System.cc:569-627)."""
+        file (System::SaveTrajectory*, /root/reference/src/System.cc:569-627).
+        map_id restricts output to frames logged in one atlas map
+        (SaveTrajectoryEuRoC(filename, pMap), System.h:158)."""
         traj = self.tracking.resolved_trajectory()
+        if map_id is not None:
+            keep = {e[0] for e in self.tracking.traj_rel
+                    if e[2] == map_id}
+            traj = [t for t in traj if t[0] in keep]
         io_utils.save_trajectory_euroc(
             path, [t for (t, _R, _t, _s) in traj],
             [(R, tr) for (_t, R, tr, _s) in traj],
@@ -460,17 +468,97 @@ class System:
             [(R, tr) for (_t, R, tr, _s) in traj],
         )
 
-    def save_keyframe_trajectory_tum(self, path: str):
-        kfs = sorted(self.map.keyframes.values(), key=lambda k: k.timestamp)
+    def save_keyframe_trajectory_tum(self, path: str, map_id: int = None):
+        kfs = self._kfs_for_save(map_id)
         io_utils.save_trajectory_tum(
             path, [k.timestamp for k in kfs], [(k.R, k.t) for k in kfs]
         )
+
+    def save_keyframe_trajectory_euroc(self, path: str, map_id: int = None):
+        """System::SaveKeyFrameTrajectoryEuRoC
+        (/root/reference/include/System.h:156,159 — with the optional
+        per-map variant)."""
+        kfs = self._kfs_for_save(map_id)
+        io_utils.save_trajectory_euroc(
+            path, [k.timestamp for k in kfs], [(k.R, k.t) for k in kfs]
+        )
+
+    def _kfs_for_save(self, map_id=None):
+        m = self.map if map_id is None else self.atlas.maps[map_id]
+        return sorted(m.keyframes.values(), key=lambda k: k.timestamp)
+
+    # --- tracked-state getters (System.h:176-187) ---
+
+    def get_tracking_state(self):
+        """Current tracker state enum (System::GetTrackingState)."""
+        return self.tracking.state
+
+    def get_tracked_map_points(self) -> np.ndarray:
+        """Per-keypoint map-point ids of the last frame, -1 where unbound
+        (System::GetTrackedMapPoints — ids instead of MapPoint*)."""
+        lf = self.tracking.last_frame
+        if lf is None:
+            return np.empty(0, np.int64)
+        return lf.mp_ids.copy()
+
+    def get_tracked_keypoints_un(self) -> np.ndarray:
+        """Undistorted keypoint coordinates (K,2) of the last frame
+        (System::GetTrackedKeyPointsUn; frames store undistorted kpts)."""
+        lf = self.tracking.last_frame
+        if lf is None:
+            return np.empty((0, 2), np.float32)
+        return np.asarray(lf.kpts).copy()
+
+    def get_image_scale(self) -> float:
+        """Input-resize factor applied by Settings (System::GetImageScale;
+        Camera.newWidth / Camera.width when a resize is configured)."""
+        s = self.settings
+        if getattr(s, "need_resize", False) and s.new_width:
+            return float(s.new_width) / float(s.width)
+        return 1.0
+
+    def map_changed(self) -> bool:
+        """True once after each big map change — loop correction, GBA,
+        IMU-init rescale (System::MapChanged,
+        /root/reference/src/System.cc:490-501; maps bump change_index only
+        on whole-map transforms). Summed over atlas maps so the count stays
+        monotone across map switches."""
+        cur = sum(m.change_index for m in self.atlas.all_maps())
+        if cur > self._last_big_change_idx:
+            self._last_big_change_idx = cur
+            return True
+        return False
+
+    def is_shutdown(self) -> bool:
+        """System::isShutDown (System.cc:564)."""
+        return self._is_shutdown
+
+    def is_lost(self) -> bool:
+        """Inertial-mode loss flag: False until IMU initialization, then
+        true in LOST (System::isLost, System.cc:1348-1359 — the
+        RECENTLY_LOST clause is commented out upstream too)."""
+        if not self.map.imu_initialized:
+            return False
+        from .tracking import State
+
+        return self.tracking.state == State.LOST
+
+    def get_time_from_imu_init(self) -> float:
+        """Seconds of keyframe time elapsed since the inertial map began,
+        0.0 before IMU initialization (System::GetTimeFromIMUInit,
+        System.cc:1339-1346)."""
+        if not self.map.imu_initialized or not self.map.keyframes:
+            return 0.0
+        ts = [k.timestamp for k in self.map.keyframes.values()]
+        dt = max(ts) - min(ts)
+        return float(dt) if dt > 0 else 0.0
 
     def dump_timing(self, path: str):
         """ExecMean.txt-style per-stage stats (REGISTER_TIMES role)."""
         self.timer.dump(path)
 
     def shutdown(self):
+        self._is_shutdown = True
         if self.loop_closing is not None:
             self.loop_closing.flush()  # finish any in-flight budgeted GBA
         if self.viewer_server is not None:
