@@ -75,6 +75,28 @@ class TestRgbdSlam:
         assert errs.max() < 0.035, errs
         assert np.median(errs) < 0.01, errs
 
+    def test_xfeat_single_dispatch_grab(self):
+        """The whole-frame fused grab (extraction + undistortion + depth
+        gate + BOTH tracking stages in one XLA dispatch,
+        optim/track_step.xfeat_rgbd_frame_step) must engage on every
+        steady-state OK frame and produce EXACTLY the split path's result
+        (it runs the identical two-stage graph, so the trajectory is
+        bit-for-bit the same)."""
+        import xfeatslam_tpu.slam.tracking as tracking_mod
+
+        errs, states, system = run_sequence("xfeat", n_frames=14)
+        assert system.tracking.stats.get("fused_grab", 0) >= 10, \
+            system.tracking.stats
+
+        orig = tracking_mod.Tracking._grab_rgbd_fused
+        tracking_mod.Tracking._grab_rgbd_fused = lambda self, *a, **k: None
+        try:
+            errs2, states2, _ = run_sequence("xfeat", n_frames=14)
+        finally:
+            tracking_mod.Tracking._grab_rgbd_fused = orig
+        assert [s.name for s in states] == [s.name for s in states2]
+        np.testing.assert_array_equal(errs, errs2)
+
     def test_trajectory_io_roundtrip(self, tmp_path):
         from xfeatslam_tpu.utils import io as io_utils
 

@@ -173,31 +173,18 @@ match_pose_step = functools.partial(
                               "n_levels", "widen"))(_match_pose_step_impl)
 
 
-@functools.partial(jax.jit, static_argnames=("binary", "n_levels"))
-def two_stage_track_step(
+def _two_stage_impl(
     R0, t0,
-    # stage 1: motion-model candidates (last frame's bindings, M1 rows)
     pos1, desc1, valid1, angle1, octave1, ids1,
-    # stage 2: local-map snapshot (M2 rows)
     pos2, desc2, valid2, angle2, octave2, ids2, dmax2,
-    # frame side (N slots)
     kpt_uv, kpt_desc, kpt_valid, kpt_angle, kpt_octave, obs_ur, inv_sigma2,
     cam: Pinhole, bf,
     radius1, radius2, max_dist, ratio, widen_below, scale_factor,
     img_w, img_h,
     binary: bool = False, n_levels: int = 1,
 ):
-    """BOTH per-frame tracking stages — TrackWithMotionModel then
-    TrackLocalMap (/root/reference/src/Tracking.cc:2892,2987) — as ONE XLA
-    graph: one dispatch, one host round trip for the whole frame.
-
-    The motion stage's inlier bindings become the local stage's prior pose
-    edges in-graph (the split path ferries them through the host); the
-    local stage masks out snapshot rows whose map id stage 1 already bound.
-    The caller supplies the local snapshot SPECULATIVELY (voted from the
-    last frame's bindings) and falls back to the split two-dispatch path
-    when either stage under-delivers — so the fused path is a pure
-    fast-path, never a behavior change."""
+    """Traceable body of two_stage_track_step (shared with the whole-frame
+    fused graph below)."""
     N = kpt_uv.shape[0]
     zeros1 = jnp.zeros(pos1.shape[0], jnp.float32)
     no_prev = jnp.zeros((N, 3), jnp.float32)
@@ -231,3 +218,120 @@ def two_stage_track_step(
         n_levels=n_levels, widen=False,
     )
     return r1, r2
+
+
+@functools.partial(jax.jit, static_argnames=("binary", "n_levels"))
+def two_stage_track_step(
+    R0, t0,
+    # stage 1: motion-model candidates (last frame's bindings, M1 rows)
+    pos1, desc1, valid1, angle1, octave1, ids1,
+    # stage 2: local-map snapshot (M2 rows)
+    pos2, desc2, valid2, angle2, octave2, ids2, dmax2,
+    # frame side (N slots)
+    kpt_uv, kpt_desc, kpt_valid, kpt_angle, kpt_octave, obs_ur, inv_sigma2,
+    cam: Pinhole, bf,
+    radius1, radius2, max_dist, ratio, widen_below, scale_factor,
+    img_w, img_h,
+    binary: bool = False, n_levels: int = 1,
+):
+    """BOTH per-frame tracking stages — TrackWithMotionModel then
+    TrackLocalMap (/root/reference/src/Tracking.cc:2892,2987) — as ONE XLA
+    graph: one dispatch, one host round trip for the whole frame.
+
+    The motion stage's inlier bindings become the local stage's prior pose
+    edges in-graph (the split path ferries them through the host); the
+    local stage masks out snapshot rows whose map id stage 1 already bound.
+    The caller supplies the local snapshot SPECULATIVELY (voted from the
+    last frame's bindings) and falls back to the split two-dispatch path
+    when either stage under-delivers — so the fused path is a pure
+    fast-path, never a behavior change."""
+    return _two_stage_impl(
+        R0, t0,
+        pos1, desc1, valid1, angle1, octave1, ids1,
+        pos2, desc2, valid2, angle2, octave2, ids2, dmax2,
+        kpt_uv, kpt_desc, kpt_valid, kpt_angle, kpt_octave, obs_ur,
+        inv_sigma2, cam, bf,
+        radius1, radius2, max_dist, ratio, widen_below, scale_factor,
+        img_w, img_h, binary=binary, n_levels=n_levels,
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_keypoints", "n_levels"))
+def xfeat_rgbd_frame_step(
+    params, image, depth_m,
+    R0, t0,
+    # stage 1: motion-model candidates (last frame's bindings, M1 rows)
+    pos1, desc1, valid1, angle1, octave1, ids1,
+    # stage 2: local-map snapshot (M2 rows)
+    pos2, desc2, valid2, angle2, octave2, ids2, dmax2,
+    cam: Pinhole, bf, depth_edge_rel, inv_sigma2_0,
+    radius1, radius2, max_dist, ratio, widen_below, scale_factor,
+    img_w, img_h,
+    num_keypoints: int, n_levels: int = 1,
+):
+    """The ENTIRE steady-state RGB-D XFeat frame as ONE XLA graph: CNN
+    extraction + keypoint undistortion + depth->virtual-right conversion +
+    both tracking stages. One device dispatch and one host fetch per frame
+    — the per-frame floor on launch overhead (or, behind this environment's
+    remote-device tunnel, on RTT).
+
+    Replaces, in-graph, what the reference spreads over
+    XFextractor::operator() (/root/reference/src/XFextractor.cc:250-357),
+    Frame::UndistortKeyPoints + ComputeStereoFromRGBD
+    (/root/reference/src/Frame.cc:940,1177-1198) and the two tracking
+    stages (Tracking.cc:2892,2987).
+
+    depth_m: (H,W) float32 metric depth. The 3x3 min/max depth-discontinuity
+    gate (silhouette rejection, see slam/frame.py build_rgbd) is evaluated
+    with 9 clipped neighborhood gathers at the K keypoints — identical to
+    eroding/dilating the full map (border clipping reproduces cv2's
+    ignore-outside border semantics) without materializing two full-res
+    maps. XFeat only: single-scale, angle-free keypoints (binary=False).
+    """
+    from ..models.extractor import extract_fn
+    from ..ops import camera as camera_ops
+
+    out = extract_fn(params, image, num_keypoints)
+    kpts = out["kpts"][0]
+    kpts_un = camera_ops.undistort_points(cam, out["kpts"])[0]
+    desc = out["desc"][0]
+    valid = out["valid"][0]
+    K = kpts.shape[0]
+
+    H, W = depth_m.shape
+    xi = jnp.clip(jnp.round(kpts[:, 0]).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(kpts[:, 1]).astype(jnp.int32), 0, H - 1)
+    d0 = depth_m[yi, xi]
+    dmin = d0
+    dmax = d0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            dn = depth_m[jnp.clip(yi + dy, 0, H - 1),
+                         jnp.clip(xi + dx, 0, W - 1)]
+            dmin = jnp.minimum(dmin, dn)
+            dmax = jnp.maximum(dmax, dn)
+    d = jnp.where(valid, d0, 0.0)
+    edge = (dmax - dmin) > depth_edge_rel * jnp.maximum(d, 1e-6)
+    d = jnp.where(edge | (dmin <= 0), 0.0, d)
+    ur = jnp.where(d > 0, kpts_un[:, 0] - bf / jnp.maximum(d, 1e-6), -1.0)
+
+    zeros_k = jnp.zeros(K, jnp.float32)
+    r1, r2 = _two_stage_impl(
+        R0, t0,
+        pos1, desc1, valid1, angle1, octave1, ids1,
+        pos2, desc2, valid2, angle2, octave2, ids2, dmax2,
+        kpts_un, desc, valid, zeros_k, zeros_k.astype(jnp.int32),
+        ur.astype(jnp.float32), zeros_k + inv_sigma2_0,
+        cam, bf,
+        radius1, radius2, max_dist, ratio, widen_below, scale_factor,
+        img_w, img_h, binary=False, n_levels=n_levels,
+    )
+    frame_out = {
+        "kpts": kpts, "kpts_un": kpts_un, "desc": desc,
+        "scores": out["scores"][0], "valid": valid,
+        "depth": d.astype(jnp.float32), "ur": ur.astype(jnp.float32),
+    }
+    return frame_out, r1, r2

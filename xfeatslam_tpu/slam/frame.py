@@ -166,6 +166,26 @@ class FramePipeline:
         self._next_id += 1
         return f
 
+    def assemble_rgbd(self, out: dict, timestamp: float) -> Frame:
+        """Build a Frame from extraction outputs computed elsewhere — the
+        whole-frame fused graph (optim/track_step.xfeat_rgbd_frame_step)
+        runs extraction, undistortion and the depth->virtual-right
+        conversion in-graph and hands back the finished per-keypoint
+        arrays (already unbatched)."""
+        f = Frame(
+            fid=self._next_id,
+            timestamp=timestamp,
+            kpts=out["kpts"],
+            kpts_un=out["kpts_un"],
+            desc=out["desc"],
+            scores=out["scores"],
+            valid=out["valid"],
+            depth=out["depth"],
+            ur=out["ur"],
+        )
+        self._next_id += 1
+        return f
+
     def build_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray,
                      timestamp: float, min_disp: float = 0.5,
                      max_disp: float = 192.0) -> Frame:

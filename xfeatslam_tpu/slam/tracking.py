@@ -190,8 +190,85 @@ class Tracking:
 
     def grab_rgbd(self, gray, depth_raw, timestamp, imu=None) -> Tuple[State, Optional[Tuple[np.ndarray, np.ndarray]]]:
         self._queue_imu(imu)
-        frame = self.pipeline.build_rgbd(gray, depth_raw, timestamp)
+        frame = self._grab_rgbd_fused(gray, depth_raw, timestamp)
+        if frame is None:
+            frame = self.pipeline.build_rgbd(gray, depth_raw, timestamp)
         return self._track(frame)
+
+    def _grab_rgbd_fused(self, gray, depth_raw, timestamp) -> Optional[Frame]:
+        """Speculative whole-frame fused grab: extraction + undistortion +
+        depth gating + BOTH tracking stages in ONE device dispatch
+        (optim/track_step.xfeat_rgbd_frame_step) — one launch (or tunnel
+        round trip) per steady-state frame instead of two. Returns a Frame
+        with the two-stage result stashed for _track_frame_fused, or None
+        when the single-dispatch preconditions don't hold (then grab_rgbd
+        builds the frame the normal way and tracking dispatches as before
+        — a pure fast-path, never a behavior change)."""
+        from ..ops import image as image_ops
+        from ..optim import track_step
+
+        last = self.last_frame
+        if (self.state != State.OK or self.imu_calib is not None
+                or self.only_tracking or last is None or last.R is None
+                or self.cfg.binary
+                or timestamp < last.timestamp  # would reset into a new map
+                or type(self.cam) is not camera_ops.Pinhole
+                or not hasattr(self.pipeline.extractor, "params")):
+            return None
+        ids = self._local_map_points(last)
+        if ids is None or len(ids) == 0:
+            return None
+        # motion-model pose prediction (_predict_pose non-inertial branch)
+        if self.velocity is not None:
+            Rv, tv = self.velocity
+            R0 = lie.np_normalize_rotation(Rv @ last.R)
+            t0 = (Rv @ last.t + tv).astype(np.float32)
+        else:
+            R0, t0 = last.R.copy(), last.t.copy()
+        bound = (last.mp_ids >= 0) & last.inlier
+        safe1 = np.where(bound, last.mp_ids, 0)
+        valid1 = bound & self.map.points.alive[safe1]
+        ids1 = np.where(valid1, last.mp_ids, -1)
+        pos, desc, valid2, padded_ids = self.map.point_snapshot(
+            ids, LOCAL_MP_BUCKET)
+        safe2 = np.clip(padded_ids, 0, None)
+        depth_m = np.asarray(depth_raw, np.float32)
+        if self.pipeline.depth_factor != 1.0:
+            depth_m = depth_m / self.pipeline.depth_factor
+        out, r1, r2 = track_step.xfeat_rgbd_frame_step(
+            self.pipeline.extractor.params,
+            image_ops.to_float_image(gray), jnp.asarray(depth_m),
+            jnp.asarray(R0), jnp.asarray(t0),
+            jnp.asarray(self.map.points.pos[safe1]),
+            jnp.asarray(self.map.points.desc[safe1]),
+            jnp.asarray(valid1),
+            jnp.asarray(self.map.points.angle[safe1]),
+            jnp.asarray(last.octave.astype(np.int32)),
+            jnp.asarray(ids1.astype(np.int32)),
+            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid2),
+            jnp.asarray(self.map.points.angle[safe2]),
+            jnp.asarray(self.map.points.octave[safe2].astype(np.int32)),
+            jnp.asarray(padded_ids.astype(np.int32)),
+            jnp.asarray(self.map.points.dmax[safe2]),
+            self.cam, jnp.float32(self.pipeline.bf),
+            jnp.float32(0.05),
+            jnp.float32(1.0 / self.cfg.obs_sigma ** 2),
+            jnp.float32(self.cfg.motion_radius),
+            jnp.float32(self.cfg.local_radius),
+            jnp.float32(self.cfg.th_high),
+            jnp.float32(0.9), jnp.int32(self.cfg.min_inliers_motion),
+            jnp.float32(self.cfg.scale_factor),
+            jnp.float32(2.0 * float(self.cam.cx)),
+            jnp.float32(2.0 * float(self.cam.cy)),
+            num_keypoints=self.pipeline.extractor.nfeatures,
+            n_levels=self.cfg.n_levels,
+        )
+        out, r1, r2 = jax.device_get((dict(out), r1, r2))
+        frame = self.pipeline.assemble_rgbd(out, timestamp)
+        frame.R, frame.t = R0, t0
+        frame._fused_pending = (r1, r2, ids, ids1, padded_ids)
+        self.stats["fused_grab"] = self.stats.get("fused_grab", 0) + 1
+        return frame
 
     def grab_mono(self, gray, timestamp, imu=None) -> Tuple[State, Optional[Tuple[np.ndarray, np.ndarray]]]:
         self._queue_imu(imu)
@@ -748,6 +825,12 @@ class Tracking:
         localization mode (temporal VO candidates + per-frame reloc)."""
         from ..optim import track_step
 
+        pend = getattr(frame, "_fused_pending", None)
+        if pend is not None:
+            # the whole-frame speculative grab (_grab_rgbd_fused) already
+            # ran BOTH stages in the extraction dispatch — just gate+apply
+            frame._fused_pending = None
+            return self._apply_fused_two_stage(frame, *pend)
         last = self.last_frame
         if (self.imu_calib is not None or self.only_tracking
                 or last is None or last.R is None):
@@ -792,6 +875,13 @@ class Tracking:
             binary=self.cfg.binary, n_levels=self.cfg.n_levels,
         )
         r1, r2 = jax.device_get((r1, r2))
+        return self._apply_fused_two_stage(frame, r1, r2, ids, ids1,
+                                           padded_ids)
+
+    def _apply_fused_two_stage(self, frame: Frame, r1, r2, ids, ids1,
+                               padded_ids) -> Optional[bool]:
+        """Gate + apply a fetched two-stage result (shared by the
+        track-time fused path and the whole-frame speculative grab)."""
         # acceptance gates: exactly the split path's motion + local criteria
         if (int(r1.n_matched) < self.cfg.min_inliers_motion
                 or int(r1.n_inliers) < 10
