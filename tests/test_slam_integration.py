@@ -97,6 +97,31 @@ class TestRgbdSlam:
         assert [s.name for s in states] == [s.name for s in states2]
         np.testing.assert_array_equal(errs, errs2)
 
+    def test_xfeat_mono_tracks_single_dispatch(self):
+        """Pure monocular visual SLAM (two-view init then steady-state
+        tracking): the whole-frame fused grab serves mono too
+        (has_depth=False configuration — every keypoint a mono
+        observation). Checks init succeeds, tracking stays OK and the
+        single-dispatch path carries the steady state."""
+        seq = synthetic.make_sequence(n_frames=18)
+        K = seq["K"]
+        settings = Settings(
+            cam=Pinhole.from_list([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
+            fps=30.0,
+        )
+        system = System(settings, Sensor.MONOCULAR, backend="xfeat",
+                        enable_loop_closing=False)
+        states = []
+        for i in range(18):
+            state, _ = system.track_monocular(seq["images"][i],
+                                              seq["timestamps"][i])
+            states.append(state.name)
+        assert states[-1] == "OK", states
+        assert states.count("OK") >= 12, states
+        assert system.map.num_keyframes() >= 2
+        assert system.tracking.stats.get("fused_grab", 0) >= 8, \
+            system.tracking.stats
+
     def test_trajectory_io_roundtrip(self, tmp_path):
         from xfeatslam_tpu.utils import io as io_utils
 

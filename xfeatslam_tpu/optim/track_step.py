@@ -257,7 +257,8 @@ def two_stage_track_step(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_keypoints", "n_levels"))
+                   static_argnames=("num_keypoints", "n_levels",
+                                    "has_depth"))
 def xfeat_rgbd_frame_step(
     params, image, depth_m,
     R0, t0,
@@ -268,7 +269,7 @@ def xfeat_rgbd_frame_step(
     cam: Pinhole, bf, depth_edge_rel, inv_sigma2_0,
     radius1, radius2, max_dist, ratio, widen_below, scale_factor,
     img_w, img_h,
-    num_keypoints: int, n_levels: int = 1,
+    num_keypoints: int, n_levels: int = 1, has_depth: bool = True,
 ):
     """The ENTIRE steady-state RGB-D XFeat frame as ONE XLA graph: CNN
     extraction + keypoint undistortion + depth->virtual-right conversion +
@@ -288,6 +289,11 @@ def xfeat_rgbd_frame_step(
     eroding/dilating the full map (border clipping reproduces cv2's
     ignore-outside border semantics) without materializing two full-res
     maps. XFeat only: single-scale, angle-free keypoints (binary=False).
+
+    has_depth=False is the MONOCULAR configuration: depth_m is a dummy
+    (1,1) array, every keypoint becomes a mono observation (d=0, ur=-1) —
+    the same graph serves mono_tum/mono_kitti/mono_euroc steady-state
+    tracking with the depth gathers compiled out.
     """
     from ..models.extractor import extract_fn
     from ..ops import camera as camera_ops
@@ -299,24 +305,29 @@ def xfeat_rgbd_frame_step(
     valid = out["valid"][0]
     K = kpts.shape[0]
 
-    H, W = depth_m.shape
-    xi = jnp.clip(jnp.round(kpts[:, 0]).astype(jnp.int32), 0, W - 1)
-    yi = jnp.clip(jnp.round(kpts[:, 1]).astype(jnp.int32), 0, H - 1)
-    d0 = depth_m[yi, xi]
-    dmin = d0
-    dmax = d0
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            dn = depth_m[jnp.clip(yi + dy, 0, H - 1),
-                         jnp.clip(xi + dx, 0, W - 1)]
-            dmin = jnp.minimum(dmin, dn)
-            dmax = jnp.maximum(dmax, dn)
-    d = jnp.where(valid, d0, 0.0)
-    edge = (dmax - dmin) > depth_edge_rel * jnp.maximum(d, 1e-6)
-    d = jnp.where(edge | (dmin <= 0), 0.0, d)
-    ur = jnp.where(d > 0, kpts_un[:, 0] - bf / jnp.maximum(d, 1e-6), -1.0)
+    if has_depth:
+        H, W = depth_m.shape
+        xi = jnp.clip(jnp.round(kpts[:, 0]).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(jnp.round(kpts[:, 1]).astype(jnp.int32), 0, H - 1)
+        d0 = depth_m[yi, xi]
+        dmin = d0
+        dmax = d0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                dn = depth_m[jnp.clip(yi + dy, 0, H - 1),
+                             jnp.clip(xi + dx, 0, W - 1)]
+                dmin = jnp.minimum(dmin, dn)
+                dmax = jnp.maximum(dmax, dn)
+        d = jnp.where(valid, d0, 0.0)
+        edge = (dmax - dmin) > depth_edge_rel * jnp.maximum(d, 1e-6)
+        d = jnp.where(edge | (dmin <= 0), 0.0, d)
+        ur = jnp.where(d > 0,
+                       kpts_un[:, 0] - bf / jnp.maximum(d, 1e-6), -1.0)
+    else:
+        d = jnp.zeros(K, jnp.float32)
+        ur = jnp.full(K, -1.0, jnp.float32)
 
     zeros_k = jnp.zeros(K, jnp.float32)
     r1, r2 = _two_stage_impl(

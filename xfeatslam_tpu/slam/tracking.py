@@ -199,11 +199,13 @@ class Tracking:
         """Speculative whole-frame fused grab: extraction + undistortion +
         depth gating + BOTH tracking stages in ONE device dispatch
         (optim/track_step.xfeat_rgbd_frame_step) — one launch (or tunnel
-        round trip) per steady-state frame instead of two. Returns a Frame
-        with the two-stage result stashed for _track_frame_fused, or None
-        when the single-dispatch preconditions don't hold (then grab_rgbd
-        builds the frame the normal way and tracking dispatches as before
-        — a pure fast-path, never a behavior change)."""
+        round trip) per steady-state frame instead of two. depth_raw=None
+        is the monocular configuration (every keypoint a mono observation,
+        depth math compiled out). Returns a Frame with the two-stage
+        result stashed for _track_frame_fused, or None when the
+        single-dispatch preconditions don't hold (then the caller builds
+        the frame the normal way and tracking dispatches as before — a
+        pure fast-path, never a behavior change)."""
         from ..ops import image as image_ops
         from ..optim import track_step
 
@@ -232,9 +234,12 @@ class Tracking:
         pos, desc, valid2, padded_ids = self.map.point_snapshot(
             ids, LOCAL_MP_BUCKET)
         safe2 = np.clip(padded_ids, 0, None)
-        depth_m = np.asarray(depth_raw, np.float32)
-        if self.pipeline.depth_factor != 1.0:
-            depth_m = depth_m / self.pipeline.depth_factor
+        if depth_raw is None:
+            depth_m = np.zeros((1, 1), np.float32)  # dummy, compiled out
+        else:
+            depth_m = np.asarray(depth_raw, np.float32)
+            if self.pipeline.depth_factor != 1.0:
+                depth_m = depth_m / self.pipeline.depth_factor
         out, r1, r2 = track_step.xfeat_rgbd_frame_step(
             self.pipeline.extractor.params,
             image_ops.to_float_image(gray), jnp.asarray(depth_m),
@@ -261,7 +266,7 @@ class Tracking:
             jnp.float32(2.0 * float(self.cam.cx)),
             jnp.float32(2.0 * float(self.cam.cy)),
             num_keypoints=self.pipeline.extractor.nfeatures,
-            n_levels=self.cfg.n_levels,
+            n_levels=self.cfg.n_levels, has_depth=depth_raw is not None,
         )
         out, r1, r2 = jax.device_get((dict(out), r1, r2))
         frame = self.pipeline.assemble_rgbd(out, timestamp)
@@ -272,7 +277,9 @@ class Tracking:
 
     def grab_mono(self, gray, timestamp, imu=None) -> Tuple[State, Optional[Tuple[np.ndarray, np.ndarray]]]:
         self._queue_imu(imu)
-        frame = self.pipeline.build_mono(gray, timestamp)
+        frame = self._grab_rgbd_fused(gray, None, timestamp)
+        if frame is None:
+            frame = self.pipeline.build_mono(gray, timestamp)
         return self._track(frame)
 
     def grab_stereo(self, gray_l, gray_r, timestamp, imu=None) -> Tuple[State, Optional[Tuple[np.ndarray, np.ndarray]]]:
