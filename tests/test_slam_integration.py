@@ -179,3 +179,40 @@ class TestStereoSlam:
         yi = np.clip(f.kpts[sel, 1].astype(int), 0, 479)
         rel = np.abs(f.depth[sel] - d_gt[yi, xi]) / d_gt[yi, xi]
         assert np.median(rel) < 0.05, np.median(rel)
+
+    def test_xfeat_stereo_single_dispatch(self):
+        """XFeat stereo steady state on the whole-frame fused grab
+        (optim/track_step.xfeat_stereo_frame_step: batched two-view CNN
+        pass + row-band stereo match + both tracking stages, one
+        dispatch)."""
+        n = 10
+        seq = synthetic.make_sequence(n_frames=n)
+        K = seq["K"]
+        baseline = 0.08
+        scene = synthetic.RoomScene(seed=0)
+        rights = []
+        for (R, t) in seq["poses"][:n]:
+            t_r = (t - np.array([baseline, 0, 0], np.float32)).astype(
+                np.float32)
+            img_r, _ = scene.render(K, R, t_r, (480, 640))
+            rights.append(img_r)
+        settings = Settings(
+            cam=Pinhole.from_list([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
+            bf=baseline * K[0, 0], th_depth=3.0, depth_map_factor=1.0,
+        )
+        system = System(settings, Sensor.STEREO, backend="xfeat")
+        errs, states = [], []
+        for i in range(n):
+            state, pose = system.track_stereo(
+                seq["images"][i], rights[i], seq["timestamps"][i])
+            states.append(state.name)
+            if pose is not None:
+                Rg, tg = seq["poses"][i]
+                errs.append(float(np.linalg.norm(
+                    -pose[0].T @ pose[1] + Rg.T @ tg)))
+        assert states.count("OK") >= n - 2, states
+        assert max(errs) < 0.08, errs
+        assert system.tracking.stats.get("fused_grab", 0) >= n - 4, \
+            system.tracking.stats
+        f = system.tracking.last_frame
+        assert (f.depth > 0).sum() > 50

@@ -346,3 +346,65 @@ def xfeat_rgbd_frame_step(
         "depth": d.astype(jnp.float32), "ur": ur.astype(jnp.float32),
     }
     return frame_out, r1, r2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_keypoints", "n_levels"))
+def xfeat_stereo_frame_step(
+    params, images,
+    R0, t0,
+    pos1, desc1, valid1, angle1, octave1, ids1,
+    pos2, desc2, valid2, angle2, octave2, ids2, dmax2,
+    cam: Pinhole, bf, min_disp, max_disp, stereo_max_dist, inv_sigma2_0,
+    radius1, radius2, max_dist, ratio, widen_below, scale_factor,
+    img_w, img_h,
+    num_keypoints: int, n_levels: int = 1,
+):
+    """The steady-state rectified-STEREO XFeat frame as ONE XLA graph:
+    both views extracted in a single batched CNN pass (the reference
+    spawns two threads for the two extractions, Frame.cc:123-124 — here
+    batch dim 2 fills the device instead), row-banded stereo matching
+    (Frame::ComputeStereoMatches role), disparity->depth, and both
+    tracking stages. One dispatch per frame where the unfused path costs
+    four (2x extract + stereo match + track).
+
+    images: (2, H, W, 1) float32 — left at index 0, right at index 1.
+    """
+    from ..models.extractor import extract_fn
+    from ..ops import camera as camera_ops
+    from ..ops import matching
+
+    out = extract_fn(params, images, num_keypoints)
+    kpts_un = camera_ops.undistort_points(cam, out["kpts"])
+    kl_un, kr_un = kpts_un[0], kpts_un[1]
+    dl, dr = out["desc"][0], out["desc"][1]
+    vl, vr = out["valid"][0], out["valid"][1]
+    K = kl_un.shape[0]
+    oct0 = jnp.zeros(K, jnp.int32)
+
+    res, disp = matching.stereo_match_rows(
+        kl_un, dl, vl, oct0, kr_un, dr, vr, oct0,
+        min_disp=min_disp, max_disp=max_disp, max_dist=stereo_max_dist,
+        binary=False,
+    )
+    d = jnp.where(res.mask & (disp > min_disp),
+                  bf / jnp.maximum(disp, 1e-6), 0.0)
+    ur = jnp.where(d > 0, kl_un[:, 0] - disp, -1.0)
+
+    zeros_k = jnp.zeros(K, jnp.float32)
+    r1, r2 = _two_stage_impl(
+        R0, t0,
+        pos1, desc1, valid1, angle1, octave1, ids1,
+        pos2, desc2, valid2, angle2, octave2, ids2, dmax2,
+        kl_un, dl, vl, zeros_k, oct0,
+        ur.astype(jnp.float32), zeros_k + inv_sigma2_0,
+        cam, bf,
+        radius1, radius2, max_dist, ratio, widen_below, scale_factor,
+        img_w, img_h, binary=False, n_levels=n_levels,
+    )
+    frame_out = {
+        "kpts": out["kpts"][0], "kpts_un": kl_un, "desc": dl,
+        "scores": out["scores"][0], "valid": vl,
+        "depth": d.astype(jnp.float32), "ur": ur.astype(jnp.float32),
+    }
+    return frame_out, r1, r2

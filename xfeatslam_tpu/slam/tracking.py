@@ -195,6 +195,39 @@ class Tracking:
             frame = self.pipeline.build_rgbd(gray, depth_raw, timestamp)
         return self._track(frame)
 
+    def _fused_grab_setup(self, timestamp):
+        """Preconditions + speculative inputs shared by the whole-frame
+        fused grabs: XFeat backend, pinhole camera, non-inertial, OK
+        state, monotonic timestamp; motion-model pose prediction
+        (_predict_pose non-inertial branch) and the stage-1/stage-2
+        snapshots voted from the LAST frame's bindings."""
+        last = self.last_frame
+        if (self.state != State.OK or self.imu_calib is not None
+                or self.only_tracking or last is None or last.R is None
+                or self.cfg.binary
+                or timestamp < last.timestamp  # would reset into a new map
+                or type(self.cam) is not camera_ops.Pinhole
+                or not hasattr(self.pipeline.extractor, "params")):
+            return None
+        ids = self._local_map_points(last)
+        if ids is None or len(ids) == 0:
+            return None
+        if self.velocity is not None:
+            Rv, tv = self.velocity
+            R0 = lie.np_normalize_rotation(Rv @ last.R)
+            t0 = (Rv @ last.t + tv).astype(np.float32)
+        else:
+            R0, t0 = last.R.copy(), last.t.copy()
+        bound = (last.mp_ids >= 0) & last.inlier
+        safe1 = np.where(bound, last.mp_ids, 0)
+        valid1 = bound & self.map.points.alive[safe1]
+        ids1 = np.where(valid1, last.mp_ids, -1)
+        pos, desc, valid2, padded_ids = self.map.point_snapshot(
+            ids, LOCAL_MP_BUCKET)
+        safe2 = np.clip(padded_ids, 0, None)
+        return (R0, t0, ids, ids1, safe1, valid1, pos, desc, valid2,
+                padded_ids, safe2)
+
     def _grab_rgbd_fused(self, gray, depth_raw, timestamp) -> Optional[Frame]:
         """Speculative whole-frame fused grab: extraction + undistortion +
         depth gating + BOTH tracking stages in ONE device dispatch
@@ -210,30 +243,11 @@ class Tracking:
         from ..optim import track_step
 
         last = self.last_frame
-        if (self.state != State.OK or self.imu_calib is not None
-                or self.only_tracking or last is None or last.R is None
-                or self.cfg.binary
-                or timestamp < last.timestamp  # would reset into a new map
-                or type(self.cam) is not camera_ops.Pinhole
-                or not hasattr(self.pipeline.extractor, "params")):
+        setup = self._fused_grab_setup(timestamp)
+        if setup is None:
             return None
-        ids = self._local_map_points(last)
-        if ids is None or len(ids) == 0:
-            return None
-        # motion-model pose prediction (_predict_pose non-inertial branch)
-        if self.velocity is not None:
-            Rv, tv = self.velocity
-            R0 = lie.np_normalize_rotation(Rv @ last.R)
-            t0 = (Rv @ last.t + tv).astype(np.float32)
-        else:
-            R0, t0 = last.R.copy(), last.t.copy()
-        bound = (last.mp_ids >= 0) & last.inlier
-        safe1 = np.where(bound, last.mp_ids, 0)
-        valid1 = bound & self.map.points.alive[safe1]
-        ids1 = np.where(valid1, last.mp_ids, -1)
-        pos, desc, valid2, padded_ids = self.map.point_snapshot(
-            ids, LOCAL_MP_BUCKET)
-        safe2 = np.clip(padded_ids, 0, None)
+        (R0, t0, ids, ids1, safe1, valid1, pos, desc, valid2, padded_ids,
+         safe2) = setup
         if depth_raw is None:
             depth_m = np.zeros((1, 1), np.float32)  # dummy, compiled out
         else:
@@ -287,8 +301,62 @@ class Tracking:
         /root/reference/src/Tracking.cc:1461): stereo depth drives the same
         RGB-D-style init/point-creation path."""
         self._queue_imu(imu)
-        frame = self.pipeline.build_stereo(gray_l, gray_r, timestamp)
+        frame = self._grab_stereo_fused(gray_l, gray_r, timestamp)
+        if frame is None:
+            frame = self.pipeline.build_stereo(gray_l, gray_r, timestamp)
         return self._track(frame)
+
+    def _grab_stereo_fused(self, gray_l, gray_r, timestamp) -> Optional[Frame]:
+        """Speculative whole-frame fused STEREO grab: both views through
+        one batched CNN pass + row-band stereo match + both tracking
+        stages in ONE dispatch (optim/track_step.xfeat_stereo_frame_step).
+        Same fallback contract as _grab_rgbd_fused."""
+        from ..ops import image as image_ops
+        from ..ops import matching
+        from ..optim import track_step
+
+        last = self.last_frame
+        setup = self._fused_grab_setup(timestamp)
+        if setup is None or gray_l.shape != gray_r.shape:
+            return None
+        (R0, t0, ids, ids1, safe1, valid1, pos, desc, valid2, padded_ids,
+         safe2) = setup
+        images = jnp.concatenate([image_ops.to_float_image(gray_l),
+                                  image_ops.to_float_image(gray_r)], axis=0)
+        out, r1, r2 = track_step.xfeat_stereo_frame_step(
+            self.pipeline.extractor.params, images,
+            jnp.asarray(R0), jnp.asarray(t0),
+            jnp.asarray(self.map.points.pos[safe1]),
+            jnp.asarray(self.map.points.desc[safe1]),
+            jnp.asarray(valid1),
+            jnp.asarray(self.map.points.angle[safe1]),
+            jnp.asarray(last.octave.astype(np.int32)),
+            jnp.asarray(ids1.astype(np.int32)),
+            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid2),
+            jnp.asarray(self.map.points.angle[safe2]),
+            jnp.asarray(self.map.points.octave[safe2].astype(np.int32)),
+            jnp.asarray(padded_ids.astype(np.int32)),
+            jnp.asarray(self.map.points.dmax[safe2]),
+            self.cam, jnp.float32(self.pipeline.bf),
+            jnp.float32(0.5), jnp.float32(192.0),
+            jnp.float32((matching.TH_HIGH + matching.TH_LOW) / 2),
+            jnp.float32(1.0 / self.cfg.obs_sigma ** 2),
+            jnp.float32(self.cfg.motion_radius),
+            jnp.float32(self.cfg.local_radius),
+            jnp.float32(self.cfg.th_high),
+            jnp.float32(0.9), jnp.int32(self.cfg.min_inliers_motion),
+            jnp.float32(self.cfg.scale_factor),
+            jnp.float32(2.0 * float(self.cam.cx)),
+            jnp.float32(2.0 * float(self.cam.cy)),
+            num_keypoints=self.pipeline.extractor.nfeatures,
+            n_levels=self.cfg.n_levels,
+        )
+        out, r1, r2 = jax.device_get((dict(out), r1, r2))
+        frame = self.pipeline.assemble_rgbd(out, timestamp)
+        frame.R, frame.t = R0, t0
+        frame._fused_pending = (r1, r2, ids, ids1, padded_ids)
+        self.stats["fused_grab"] = self.stats.get("fused_grab", 0) + 1
+        return frame
 
     def grab_imu(self, acc, gyro, timestamp: float):
         """GrabImuData (/root/reference/src/Tracking.cc:1645): enqueue one
