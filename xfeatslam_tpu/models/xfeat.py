@@ -8,7 +8,11 @@ reference are deliberate TPU choices, not behavior changes:
   * BatchNorm (affine=False) running statistics are folded into the conv
     weights at parameter-build time, so inference is conv+bias+relu only.
   * The whole forward runs under one jit; optional bfloat16 compute for the
-    conv stack with float32 accumulation (MXU-friendly).
+    conv stack with float32 accumulation (MXU-friendly). Under bf16, the
+    inter-layer activations are also STORED bf16 (each conv re-casts its
+    input to bf16 regardless, so f32 storage adds no precision — it only
+    doubles the HBM traffic of the bandwidth-bound early layers); head
+    outputs (feats/logits/heatmap) are always float32.
 
 Architecture (reference /root/reference/src/XFeat.cc:36-121):
   norm       InstanceNorm2d(1)
@@ -130,12 +134,17 @@ def init_params(key: jax.Array, dtype=jnp.float32,
     return params
 
 
-def _conv(x, w, b, stride: int, pad: int, dt=jnp.float32):
+def _conv(x, w, b, stride: int, pad: int, dt=jnp.float32, out_dt=jnp.float32):
     """Explicit-padding conv matching torch Conv2d(padding=pad, stride=stride).
 
     Inputs are cast to the compute dtype `dt` (bf16 for MXU speed); the
-    accumulation stays float32 via preferred_element_type, and all
-    inter-layer tensors remain float32.
+    accumulation stays float32 via preferred_element_type. `out_dt` sets the
+    STORAGE dtype of the result: inter-layer activations are kept in `dt`
+    on TPU — the next conv re-casts to `dt` anyway, so storing f32 between
+    layers buys no precision (relu commutes with rounding: monotone, 0->0)
+    while doubling the HBM traffic of the full/half-resolution early layers,
+    which is where the forward pass's time goes (PERF.md: the conv stack is
+    bandwidth-bound, not MXU-bound). Head outputs stay f32.
     """
     y = lax.conv_general_dilated(
         x.astype(dt),
@@ -145,12 +154,12 @@ def _conv(x, w, b, stride: int, pad: int, dt=jnp.float32):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
-    return y + b.astype(jnp.float32)
+    return (y + b.astype(jnp.float32)).astype(out_dt)
 
 
 def _basic_stack(x, stack_params, layers, dt=jnp.float32):
     for p, (_cin, _cout, ks, stride) in zip(stack_params, layers):
-        x = _conv(x, p["w"], p["b"], stride, ks // 2, dt)
+        x = _conv(x, p["w"], p["b"], stride, ks // 2, dt, out_dt=dt)
         x = jnp.maximum(x, 0.0)
     return x
 
@@ -206,7 +215,8 @@ def forward(params: Params, x, *, compute_dtype=jnp.float32):
     skip = lax.reduce_window(
         x, 0.0, lax.add, (1, 4, 4, 1), (1, 4, 4, 1), "VALID"
     ) * 0.0625
-    skip = _conv(skip, p["skip1_conv"]["w"], p["skip1_conv"]["b"], 1, 0, dt)
+    skip = _conv(skip, p["skip1_conv"]["w"], p["skip1_conv"]["b"], 1, 0, dt,
+                 out_dt=dt)
 
     x2 = _basic_stack(x1 + skip, p["block2"], _BASIC_STACKS["block2"], dt)
     x3 = _basic_stack(x2, p["block3"], _BASIC_STACKS["block3"], dt)
@@ -230,7 +240,7 @@ def forward(params: Params, x, *, compute_dtype=jnp.float32):
         _conv(h, p["heatmap_final"]["w"], p["heatmap_final"]["b"], 1, 0, dt)
     )
 
-    kin = unfold2d(x, ws=8)
+    kin = unfold2d(x.astype(dt), ws=8)
     k = _basic_stack(kin, p["keypoint_head"], _BASIC_STACKS["keypoint_head"], dt)
     logits = _conv(k, p["keypoint_final"]["w"], p["keypoint_final"]["b"], 1, 0, dt)
 
