@@ -526,3 +526,42 @@ class TestLiveViewer:
         assert len(v._hist) == 3
         gif = v.close()
         assert gif is not None and os.path.getsize(gif) > 1000
+
+
+class TestCodebookPersistence:
+    def test_fitted_codebook_travels_with_atlas(self, tracked_system,
+                                                tmp_path):
+        """A data-derived retrieval codebook must be saved into and restored
+        from the atlas checkpoint: the stored global descriptors were
+        aggregated under it, and a fresh process otherwise queries under the
+        seeded default codebook (vocabulary-with-checkpoint role,
+        /root/reference/src/System.cc:1403-1506)."""
+        from xfeatslam_tpu.slam import retrieval, serialization
+
+        system, seq = tracked_system
+        dim = system.map.desc_dim
+        try:
+            system.refit_retrieval_codebook()
+            fitted = retrieval.installed_codebook(dim)
+            assert fitted is not None
+            kf = next(iter(system.map.keyframes.values()))
+            stored_global = kf.global_desc.copy()
+
+            path = str(tmp_path / "atlas_cb.zip")
+            system.save_atlas(path)
+
+            # simulate a fresh process: drop the installed codebook
+            retrieval.use_codebook(None, dim)
+            assert retrieval.installed_codebook(dim) is None
+
+            fresh = System(system.settings, Sensor.RGBD, backend="orb")
+            fresh.load_atlas(path)
+            got = retrieval.installed_codebook(dim)
+            assert got is not None
+            np.testing.assert_allclose(got, fitted, atol=1e-6)
+            # query-side aggregation now matches the stored globals
+            kf2 = fresh.map.keyframes[kf.kid]
+            regg = retrieval.aggregate_global_desc(kf2.desc, kf2.valid)
+            np.testing.assert_allclose(regg, stored_global, atol=1e-6)
+        finally:
+            retrieval.use_codebook(None, dim)

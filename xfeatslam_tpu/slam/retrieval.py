@@ -36,6 +36,11 @@ N_ANCHORS = 64
 # disables it
 POWER_ALPHA = 0.5
 _ANCHORS: Dict[int, np.ndarray] = {}
+# dims whose codebook was installed via use_codebook() (data-derived) as
+# opposed to the seeded default — these must be persisted with the atlas,
+# or a resumed process aggregates queries under the default codebook
+# against stored globals aggregated under the fitted one
+_FITTED: Set[int] = set()
 
 
 def _anchors(dim: int) -> np.ndarray:
@@ -87,10 +92,19 @@ def use_codebook(anchors: Optional[np.ndarray], dim: Optional[int] = None):
     re-aggregate stored keyframes (System.refit_retrieval_codebook does)."""
     if anchors is None:
         _ANCHORS.pop(dim, None)
+        _FITTED.discard(dim)
     else:
         a = np.asarray(anchors, np.float32)
         _ANCHORS[a.shape[1]] = a / np.maximum(
             np.linalg.norm(a, axis=-1, keepdims=True), 1e-9)
+        _FITTED.add(a.shape[1])
+
+
+def installed_codebook(dim: int) -> Optional[np.ndarray]:
+    """The data-derived codebook installed for `dim`, or None when the
+    seeded default is in effect (used by atlas serialization: only fitted
+    codebooks need to travel with the checkpoint)."""
+    return _ANCHORS.get(dim) if dim in _FITTED else None
 
 
 def aggregate_global_desc(desc: np.ndarray, valid: np.ndarray) -> np.ndarray:

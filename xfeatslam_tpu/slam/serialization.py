@@ -189,7 +189,16 @@ def load_map(f) -> SlamMap:
 
 
 def save_atlas(atlas: Atlas, path: str):
-    """One zip holding each map as an npz (the .osa role)."""
+    """One zip holding each map as an npz (the .osa role).
+
+    A data-derived retrieval codebook, when installed, travels with the
+    checkpoint: the stored per-KF global descriptors were aggregated under
+    it, and a resumed process would otherwise aggregate queries under the
+    seeded default codebook — silently breaking post-resume relocalization
+    and merges. (The reference's analogue: the vocabulary file + MD5 check
+    at /root/reference/src/System.cc:1403-1506.)"""
+    from . import retrieval
+
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
         meta = {
             "version": FORMAT_VERSION,
@@ -198,6 +207,11 @@ def save_atlas(atlas: Atlas, path: str):
             "map_ids": sorted(atlas.maps),
         }
         z.writestr("atlas.json", json.dumps(meta))
+        cb = retrieval.installed_codebook(atlas.desc_dim)
+        if cb is not None:
+            buf = io.BytesIO()
+            np.save(buf, cb)
+            z.writestr("codebook.npy", buf.getvalue())
         for mid, m in atlas.maps.items():
             buf = io.BytesIO()
             save_map(m, buf)
@@ -205,10 +219,15 @@ def save_atlas(atlas: Atlas, path: str):
 
 
 def load_atlas(path: str) -> Atlas:
+    from . import retrieval
+
     with zipfile.ZipFile(path) as z:
         meta = json.loads(z.read("atlas.json").decode())
         atlas = Atlas(desc_dim=meta["desc_dim"])
         atlas.maps.clear()
+        if "codebook.npy" in z.namelist():
+            cb = np.load(io.BytesIO(z.read("codebook.npy")))
+            retrieval.use_codebook(cb)
         for mid in meta["map_ids"]:
             buf = io.BytesIO(z.read(f"map{mid}.npz"))
             atlas.maps[mid] = load_map(buf)
