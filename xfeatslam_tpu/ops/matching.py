@@ -45,9 +45,20 @@ XFEAT_PROFILE = MatchProfile(False, TH_HIGH, TH_LOW)
 ORB_PROFILE = MatchProfile(True, ORB_TH_HIGH, ORB_TH_LOW)
 
 
+# Descriptor-similarity matmuls run at Precision.DEFAULT (one bf16 MXU
+# pass), overriding the package-global jax_default_matmul_precision=highest
+# (6 passes) which the 3x3 GEOMETRY math needs but similarity does not:
+# XFeat descriptors are unit-norm so bf16 rounding costs <0.4% of |sim|
+# against integer thresholds of 100/1000 on a 0..2048 scale, and ORB 0/1
+# vectors are EXACT in bf16 (f32 accumulation keeps the integer Hamming
+# exact). CPU backends ignore the precision hint, so tests are unchanged.
+_SIM_PREC = jax.lax.Precision.DEFAULT
+
+
 def xfeat_distance_matrix(desc_a, desc_b):
     """(N,D),(M,D) L2-normalized -> (N,M) distances = L2^2 * 512."""
-    sim = desc_a @ desc_b.T
+    sim = jnp.matmul(desc_a, desc_b.T, precision=_SIM_PREC,
+                     preferred_element_type=jnp.float32)
     return (2.0 - 2.0 * sim) * 512.0
 
 
@@ -56,7 +67,9 @@ def hamming_distance_matrix(desc_a, desc_b):
     (popcnt replacement: on binary vectors L2^2 == Hamming)."""
     na = jnp.sum(desc_a, axis=-1, keepdims=True)
     nb = jnp.sum(desc_b, axis=-1)
-    return na + nb[None, :] - 2.0 * (desc_a @ desc_b.T)
+    prod = jnp.matmul(desc_a, desc_b.T, precision=_SIM_PREC,
+                      preferred_element_type=jnp.float32)
+    return na + nb[None, :] - 2.0 * prod
 
 
 def distance_matrix(desc_a, desc_b, binary: bool = False):

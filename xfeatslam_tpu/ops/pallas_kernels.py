@@ -44,11 +44,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_N = 256
 
+# MXU input dtype for the similarity/sampling contractions on real TPU.
+# The package pins jax_default_matmul_precision=highest (3x3 geometry math
+# needs it), which lowers f32xf32 dots to the multi-pass MXU path — 6x the
+# cost of one bf16 pass. Descriptors are L2-normalized (|sim| <= 1), so
+# bf16 inputs with f32 accumulation cost ~0.4% relative similarity error
+# against coarse integer thresholds (TH_HIGH/TH_LOW = 1000/100,
+# /root/reference/src/ORBmatcher.cc:34-35). Interpret mode (CPU tests)
+# keeps f32 so the bit-parity tests against the XLA path stay exact.
+# Every bf16 dot must ALSO pass precision=DEFAULT explicitly: Mosaic
+# rejects a bf16 x bf16 dot_general inheriting the global HIGHEST
+# precision ("Bad lhs type" at TPU compile).
+_DOT_PREC = lax.Precision.DEFAULT
 
-def _top2_kernel(a_ref, b_ref, vb_ref, out_ref):
+
+def _mxu_dt(interpret: bool):
+    return jnp.float32 if interpret else jnp.bfloat16
+
+
+def _top2_kernel(a_ref, b_ref, vb_ref, out_ref, *, mxu_dt=jnp.float32):
     """a: (TILE_N, D), b: (M, D), vb: (1, M) column validity -> out
     (TILE_N, 8) packed [sim_best, sim_second, idx_best, 0, 0, 0, 0, 0]."""
-    sim = jnp.dot(a_ref[:], b_ref[:].T, preferred_element_type=jnp.float32)
+    sim = jnp.dot(a_ref[:].astype(mxu_dt), b_ref[:].T.astype(mxu_dt),
+                  precision=_DOT_PREC,
+                  preferred_element_type=jnp.float32)
     sim = jnp.where(vb_ref[0, :][None, :] > 0, sim, -jnp.inf)
     s1 = jnp.max(sim, axis=1)
     i1 = jnp.argmax(sim, axis=1)
@@ -81,7 +100,7 @@ def similarity_top2(desc_a, desc_b, valid_b=None, interpret: bool = False):
     vb = valid_b.astype(jnp.float32).reshape(1, M)
     grid = (N // TILE_N,)
     out = pl.pallas_call(
-        _top2_kernel,
+        functools.partial(_top2_kernel, mxu_dt=_mxu_dt(interpret)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_N, D), lambda i: (i, 0),
@@ -409,7 +428,8 @@ def _pick_chunk(npix: int):
     return nch, npix // nch
 
 
-def _desc_sample_kernel(feats_ref, idx_ref, w_ref, out_ref, fn_ref):
+def _desc_sample_kernel(feats_ref, idx_ref, w_ref, out_ref, fn_ref, *,
+                        mxu_dt=jnp.float32):
     """One 128-keypoint tile of one image: build the 4-tap bilinear weight
     matrix as a one-hot-sum (VPU compares) and contract it against the
     L2-normalized dense (NP, 64) descriptor grid on the MXU — a gather
@@ -429,8 +449,8 @@ def _desc_sample_kernel(feats_ref, idx_ref, w_ref, out_ref, fn_ref):
     nch, chunk = _pick_chunk(npix)
 
     f = feats_ref[0]
-    fn_ref[:] = f * lax.rsqrt(
-        jnp.sum(f * f, axis=-1, keepdims=True) + 1e-12)
+    fn_ref[:] = (f * lax.rsqrt(
+        jnp.sum(f * f, axis=-1, keepdims=True) + 1e-12)).astype(fn_ref.dtype)
 
     def tile_body(t, carry):
         sl = pl.ds(t * KPT_TILE, KPT_TILE)
@@ -444,7 +464,12 @@ def _desc_sample_kernel(feats_ref, idx_ref, w_ref, out_ref, fn_ref):
             wmat = jnp.zeros((KPT_TILE, chunk), jnp.float32)
             for tap in range(4):
                 wmat = wmat + jnp.where(cols == itap[tap], wtap[tap], 0.0)
-            return d + jnp.dot(wmat, fn_ref[pl.ds(c0, chunk), :],
+            # bf16 rounding of the bilinear weights costs < 0.4% relative
+            # per tap on unit-norm descriptors; the row renormalization
+            # below removes the common-mode part of it.
+            return d + jnp.dot(wmat.astype(mxu_dt),
+                               fn_ref[pl.ds(c0, chunk), :],
+                               precision=_DOT_PREC,
                                preferred_element_type=jnp.float32)
 
         d = lax.fori_loop(0, nch, chunk_body,
@@ -472,7 +497,7 @@ def bilinear_desc_sample(feats, idx4, w4, interpret: bool = False):
     K = idx4.shape[1]
     assert K % KPT_TILE == 0, f"K={K} must be a multiple of {KPT_TILE}"
     return pl.pallas_call(
-        _desc_sample_kernel,
+        functools.partial(_desc_sample_kernel, mxu_dt=_mxu_dt(interpret)),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, NP, C), lambda b: (b, 0, 0),
@@ -485,7 +510,7 @@ def bilinear_desc_sample(feats, idx4, w4, interpret: bool = False):
         out_specs=pl.BlockSpec((1, K, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, K, C), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((NP, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((NP, C), _mxu_dt(interpret))],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * NP * C,
@@ -495,7 +520,8 @@ def bilinear_desc_sample(feats, idx4, w4, interpret: bool = False):
     )(feats, idx4, w4)
 
 
-def _mnn_pair_kernel(a_ref, b_ref, va_ref, vb_ref, row_ref, col_ref):
+def _mnn_pair_kernel(a_ref, b_ref, va_ref, vb_ref, row_ref, col_ref, *,
+                     mxu_dt=jnp.float32):
     """One frame PAIR per grid step: similarity (KP,K) on the MXU, row-wise
     top-2 + argbest AND column-wise best-row in the same pass, tiled over
     TILE_N row blocks so the matrix never exceeds ~1 MB of VMEM (a whole
@@ -517,13 +543,14 @@ def _mnn_pair_kernel(a_ref, b_ref, va_ref, vb_ref, row_ref, col_ref):
     kp = a_ref.shape[1]
     k = b_ref.shape[1]
     nt = kp // TILE_N
-    bt = b_ref[0].T
+    bt = b_ref[0].T.astype(mxu_dt)
     vb = vb_ref[0, 0, :][None, :] > 0
     gmax = jnp.full((1, k), -jnp.inf, jnp.float32)
     grow = jnp.zeros((1, k), jnp.int32)
     for t in range(nt):
         sl = pl.ds(t * TILE_N, TILE_N)
-        sim = jnp.dot(a_ref[0, sl, :], bt,
+        sim = jnp.dot(a_ref[0, sl, :].astype(mxu_dt), bt,
+                      precision=_DOT_PREC,
                       preferred_element_type=jnp.float32)
         sim = jnp.where(vb, sim, -jnp.inf)
         s1 = jnp.max(sim, axis=1)
@@ -568,7 +595,7 @@ def mutual_nn_pairs(desc_a, desc_b, valid_a, valid_b,
         va = jnp.pad(va, ((0, 0), (0, 0), (0, KP - K)))
     vb = valid_b.astype(jnp.float32).reshape(P, 1, K)
     row, col = pl.pallas_call(
-        _mnn_pair_kernel,
+        functools.partial(_mnn_pair_kernel, mxu_dt=_mxu_dt(interpret)),
         grid=(P,),
         in_specs=[
             pl.BlockSpec((1, KP, D), lambda i: (i, 0, 0),
