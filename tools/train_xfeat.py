@@ -110,6 +110,8 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--scenes", type=int, default=6)
+    ap.add_argument("--pairs-per-scene", type=int, default=28)
     ap.add_argument("--out", default="weights/xfeat_synthetic.npz")
     ap.add_argument("--save-every", type=int, default=500)
     ap.add_argument("--init", default=None,
@@ -127,7 +129,8 @@ def main():
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
     print("rendering training pair pool...", flush=True)
-    pool = render_pair_pool(rng)
+    pool = render_pair_pool(rng, n_scenes=args.scenes,
+                            pairs_per_scene=args.pairs_per_scene)
     n_pool = len(pool["img_a"])
     print(f"pool: {n_pool} pairs of {pool['img_a'].shape[1:3]}", flush=True)
 
