@@ -564,4 +564,22 @@ class TestCodebookPersistence:
             regg = retrieval.aggregate_global_desc(kf2.desc, kf2.valid)
             np.testing.assert_allclose(regg, stored_global, atol=1e-6)
         finally:
+            # restore the module-scoped fixture to default-codebook state:
+            # refit_retrieval_codebook re-aggregated every stored
+            # global_desc, which would poison later tests sharing
+            # tracked_system
             retrieval.use_codebook(None, dim)
+            for m in system.atlas.all_maps():
+                for k in m.keyframes.values():
+                    k.global_desc = retrieval.aggregate_global_desc(
+                        k.desc, k.valid)
+            if system.loop_closing is not None:
+                from xfeatslam_tpu.slam.retrieval import global_desc_dim
+                retr = type(system.loop_closing.retrieval)(
+                    dim=global_desc_dim(dim))
+                for m in system.atlas.all_maps():
+                    for kid in sorted(m.keyframes):
+                        retr.add(kid, m.keyframes[kid].global_desc,
+                                 map_id=m.map_id)
+                system.loop_closing.retrieval = retr
+                system.tracking.retrieval = retr

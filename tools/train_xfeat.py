@@ -112,11 +112,19 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--scenes", type=int, default=6)
     ap.add_argument("--pairs-per-scene", type=int, default=28)
+    ap.add_argument("--hw", type=int, nargs=2, default=(128, 160),
+                    help="crop size of the rendered training pairs; larger "
+                    "crops raise correspondence-supervision fidelity at "
+                    "render/step cost")
     ap.add_argument("--out", default="weights/xfeat_synthetic.npz")
     ap.add_argument("--save-every", type=int, default=500)
     ap.add_argument("--init", default=None,
                     help="warm-start weights npz (e.g. the shipped ones)")
     args = ap.parse_args()
+    if args.hw[0] % 32 or args.hw[1] % 32:
+        ap.error(f"--hw {args.hw[0]} {args.hw[1]}: the XFeat forward needs "
+                 "H and W to be multiples of 32 (fail fast here, not after "
+                 "the pool render)")
 
     import jax
     import jax.numpy as jnp
@@ -130,7 +138,10 @@ def main():
     rng = np.random.default_rng(0)
     print("rendering training pair pool...", flush=True)
     pool = render_pair_pool(rng, n_scenes=args.scenes,
-                            pairs_per_scene=args.pairs_per_scene)
+                            pairs_per_scene=args.pairs_per_scene,
+                            hw=tuple(args.hw),
+                            # keep the FOV of the default 128x160 crops
+                            f=130.0 * args.hw[1] / 160.0)
     n_pool = len(pool["img_a"])
     print(f"pool: {n_pool} pairs of {pool['img_a'].shape[1:3]}", flush=True)
 

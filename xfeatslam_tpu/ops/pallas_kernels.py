@@ -98,6 +98,12 @@ def similarity_top2(desc_a, desc_b, valid_b=None, interpret: bool = False):
     if valid_b is None:
         valid_b = jnp.ones((M,), jnp.float32)
     vb = valid_b.astype(jnp.float32).reshape(1, M)
+    # cast ONCE outside the kernel: halves the descriptor HBM traffic and
+    # avoids re-casting the full (M,D) operand on every grid step (the
+    # in-kernel astype below is then a no-op)
+    mdt = _mxu_dt(interpret)
+    desc_a = desc_a.astype(mdt)
+    desc_b = desc_b.astype(mdt)
     grid = (N // TILE_N,)
     out = pl.pallas_call(
         functools.partial(_top2_kernel, mxu_dt=_mxu_dt(interpret)),
@@ -587,6 +593,10 @@ def mutual_nn_pairs(desc_a, desc_b, valid_a, valid_b,
     """
     P, K, D = desc_a.shape
     KP = -(-K // TILE_N) * TILE_N
+    # cast once outside the kernel (see similarity_top2)
+    mdt = _mxu_dt(interpret)
+    desc_a = desc_a.astype(mdt)
+    desc_b = desc_b.astype(mdt)
     if KP != K:
         pad = ((0, 0), (0, KP - K), (0, 0))
         desc_a = jnp.pad(desc_a, pad)

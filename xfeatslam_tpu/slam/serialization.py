@@ -225,12 +225,18 @@ def load_atlas(path: str) -> Atlas:
         meta = json.loads(z.read("atlas.json").decode())
         atlas = Atlas(desc_dim=meta["desc_dim"])
         atlas.maps.clear()
+        cb = None
         if "codebook.npy" in z.namelist():
             cb = np.load(io.BytesIO(z.read("codebook.npy")))
-            retrieval.use_codebook(cb)
         for mid in meta["map_ids"]:
             buf = io.BytesIO(z.read(f"map{mid}.npz"))
             atlas.maps[mid] = load_map(buf)
         atlas.active_id = meta["active_id"]
         atlas._next_map_id = max(meta["map_ids"]) + 1 if meta["map_ids"] else 0
+    # Install the checkpoint's codebook only after every map loaded (a
+    # failed/corrupt load must not corrupt the process-global registry);
+    # a checkpoint WITHOUT a codebook restores the seeded default — its
+    # globals were aggregated under it, and leaving a previously fitted
+    # codebook installed would mismatch queries against them.
+    retrieval.use_codebook(cb, dim=atlas.desc_dim)
     return atlas
