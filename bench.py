@@ -226,10 +226,51 @@ def bench_online(backend: str, n_frames: int = 40):
     return fps, platform, dpf
 
 
+def bench_loop(n_kf: int = 40, period: int = 36, revisit_tail: int = 4):
+    """Loop-closure-heavy workload (BASELINE config 5, the TUM
+    fr3/long_office_household role): a drifted keyframe chain that revisits
+    its start; every KF runs the full place-recognition ladder (grouped
+    VLAD retrieval -> pair match -> Sim3 RANSAC -> OptimizeSim3 -> guided
+    re-search -> 3 temporal confirmations) and the confirmed loop runs
+    CorrectLoop + essential graph + GBA
+    (/root/reference/src/LoopClosing.cc:324-1213,2268).
+
+    Reports the saved-map ATE RMSE after correction; vs_baseline is the
+    improvement factor over the drifted (pre-correction) trajectory."""
+    import jax
+
+    from xfeatslam_tpu.ops.camera import Pinhole
+    from xfeatslam_tpu.slam.loop_closing import LoopClosing
+    from xfeatslam_tpu.utils.synthetic import make_loop_map
+
+    platform = jax.devices()[0].platform
+    cam = Pinhole.from_list([517.3, 516.5, 318.6, 255.3])
+    rng = np.random.default_rng(0)
+    m, gt, est = make_loop_map(rng, n_kf=n_kf, n_pts=1200,
+                               period=period, revisit_tail=revisit_tail)
+    lc = LoopClosing(m, cam, fix_scale=False, confirmations=3,
+                     run_gba=True, proj_matches=25, proj_matches_strict=30)
+    t0 = time.perf_counter()
+    for kid in sorted(m.keyframes):
+        lc.process_keyframe(kid)
+    wall = time.perf_counter() - t0
+    err_b = np.array([np.linalg.norm(est[k][1] - gt[k][1])
+                      for k in m.keyframes])
+    err_a = np.array([np.linalg.norm(m.keyframes[k].t - gt[k][1])
+                      for k in m.keyframes])
+    rmse_b = float(np.sqrt((err_b ** 2).mean()))
+    rmse_a = float(np.sqrt((err_a ** 2).mean()))
+    print(f"# loop: {len(lc.closed)} closure(s) over {n_kf} KFs, "
+          f"ATE rmse {rmse_b*100:.2f} -> {rmse_a*100:.2f} cm, "
+          f"{wall:.1f}s wall ({wall/n_kf*1e3:.0f} ms/KF incl. tunnel RTT)",
+          file=sys.stderr)
+    return rmse_a, rmse_b, len(lc.closed), platform
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="offline",
-                    choices=["offline", "online", "orb", "all"])
+                    choices=["offline", "online", "orb", "loop", "all"])
     args = ap.parse_args()
 
     if args.mode in ("offline", "all"):
@@ -251,6 +292,16 @@ def main():
                      f"batch 1, {dpf:.0f} jitted dispatches/frame; through "
                      "the axon tunnel each dispatch costs ~15-30 ms RTT)"),
             "vs_baseline": round(fps / 30.0, 2),  # 30 fps real-time pacing
+        }))
+    if args.mode in ("loop", "all"):
+        rmse_a, rmse_b, n_closed, platform = bench_loop()
+        print(json.dumps({
+            "metric": f"slam_loop_closure_ate_rmse_{platform}",
+            "value": round(rmse_a * 100, 3),
+            "unit": (f"cm ATE RMSE after {n_closed} loop closure(s) on a "
+                     "40-KF drifted revisit chain (retrieval + Sim3 + "
+                     "essential graph + GBA; BASELINE config 5 role)"),
+            "vs_baseline": round(rmse_b / max(rmse_a, 1e-9), 2),
         }))
     if args.mode in ("orb", "all"):
         fps, platform, dpf = bench_online("orb")

@@ -6,111 +6,12 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from xfeatslam_tpu.ops import camera, lie
+from xfeatslam_tpu.ops import camera
 from xfeatslam_tpu.slam.loop_closing import LoopClosing
-from xfeatslam_tpu.slam.map import KeyFrame, SlamMap
+from xfeatslam_tpu.utils.synthetic import make_loop_map as build_loop_map
 
 CAM = camera.Pinhole.from_list([517.3, 516.5, 318.6, 255.3])
 K = np.array([[517.3, 0, 318.6], [0, 516.5, 255.3], [0, 0, 1]], np.float32)
-
-
-def build_loop_map(rng, n_kf=14, n_pts=400, drift_per_kf=0.012,
-                   revisit_tail=2, period=None, drift_xi=None):
-    """Camera walks a circle and returns to the start; odometry drift
-    accumulates; last KF re-observes the first KF's area. With period <
-    n_kf the trajectory wraps PAST 2*pi, so the last (n_kf - period) KFs
-    successively re-observe the first KFs' regions (multi-KF revisit for
-    temporal-consistency tests). Returns (map, gt poses, drifted poses)."""
-    period = period or n_kf
-    # world points on a cylinder around the trajectory
-    ang_pts = rng.uniform(0, 2 * np.pi, n_pts)
-    r_pts = rng.uniform(2.0, 3.5, n_pts)
-    X_gt = np.stack([
-        r_pts * np.sin(ang_pts), rng.uniform(-1.0, 1.0, n_pts),
-        r_pts * np.cos(ang_pts)
-    ], -1).astype(np.float32)
-    desc = rng.standard_normal((n_pts, 64)).astype(np.float32)
-    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
-
-    # GT camera poses: slight circle, looking outward along +z rotated
-    gt = []
-    for i in range(n_kf):
-        ang = 2 * np.pi * i / period
-        cy, sy = np.cos(ang), np.sin(ang)
-        R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
-        C = 0.5 * np.array([np.sin(ang), 0.0, np.cos(ang) - 1.0], np.float32)
-        R_cw = R_wc.T
-        t_cw = -R_cw @ C
-        gt.append((R_cw, t_cw))
-
-    # drifted poses: accumulate a small error per step; KF0 exact
-    drift = np.eye(4, dtype=np.float32)
-    est = [gt[0]]
-    if drift_xi is None:
-        drift_xi = np.array([1.0, 0.3, -0.5, 0.15, 0.4, -0.2], np.float32)
-    for i in range(1, n_kf):
-        xi = drift_per_kf * np.asarray(drift_xi, np.float32)
-        dR, dt = lie.se3_exp(jnp.asarray(xi * i / n_kf))
-        R_d = np.asarray(dR) @ gt[i][0]
-        t_d = np.asarray(dR) @ gt[i][1] + np.asarray(dt) * i
-        est.append((R_d.astype(np.float32), t_d.astype(np.float32)))
-
-    m = SlamMap(desc_dim=64)
-    K_slots = 300
-    mp_of_point = {}
-    for i, (R, t) in enumerate(est):
-        # observations: points visible in GT pose i
-        Xc_gt = X_gt @ gt[i][0].T + gt[i][1]
-        z = Xc_gt[:, 2]
-        u = 517.3 * Xc_gt[:, 0] / np.maximum(z, 1e-6) + 318.6
-        v = 516.5 * Xc_gt[:, 1] / np.maximum(z, 1e-6) + 255.3
-        vis = (z > 0.5) & (u >= 10) & (u < 630) & (v >= 10) & (v < 470)
-        sel = np.nonzero(vis)[0][:K_slots]
-        kpts = np.zeros((K_slots, 2), np.float32)
-        dsc = np.zeros((K_slots, 64), np.float32)
-        valid = np.zeros(K_slots, bool)
-        kpts[: len(sel)] = np.stack([u[sel], v[sel]], -1)
-        dsc[: len(sel)] = desc[sel]
-        valid[: len(sel)] = True
-        kf = KeyFrame(
-            kid=i, frame_id=i, timestamp=float(i),
-            kpts_un=kpts, desc=dsc, valid=valid,
-            ur=np.full(K_slots, -1.0, np.float32),
-            depth=np.zeros(K_slots, np.float32),
-            R=R.copy(), t=t.copy(),
-        )
-        m.keyframes[i] = kf
-        m.covis.setdefault(i, {})
-        if m.kf_origin is None:
-            m.kf_origin = i
-        # map points: created by the KF that first sees them, at the
-        # DRIFTED position (unproject GT pixel with drifted pose, GT depth).
-        # The final 'revisit' KFs create fresh DUPLICATE landmarks instead
-        # of re-binding the old ones — that is exactly the drifted-revisit
-        # situation loop closure exists for (re-binding would make the
-        # revisit covisible with KF0 and excluded from candidates, like a
-        # tracked loop needs no closure).
-        revisit = i >= n_kf - revisit_tail
-        for slot, p in enumerate(sel):
-            p = int(p)
-            ray = np.array([(kpts[slot, 0] - 318.6) / 517.3,
-                            (kpts[slot, 1] - 255.3) / 516.5, 1.0],
-                           np.float32)
-            z_gt = float(Xc_gt[p, 2])
-            Xw = (R.T @ (ray * z_gt - t)).astype(np.float32)
-            if revisit:
-                mp = m.create_point(Xw, desc[p], i)
-            elif p not in mp_of_point:
-                mp = m.create_point(Xw, desc[p], i)
-                mp_of_point[p] = mp
-            else:
-                mp = mp_of_point[p]
-            m.add_observation(mp, i, slot, update_links=False)
-        m.update_connections(i)
-        kf.parent = i - 1 if i > 0 else -1
-        if i > 0:
-            m.keyframes[i - 1].children.add(i)
-    return m, gt, est
 
 
 class TestLoopClosing:

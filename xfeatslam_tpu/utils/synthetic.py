@@ -197,8 +197,15 @@ def orbit_trajectory(n_frames: int, radius: float = 0.15,
 
 
 def make_sequence(n_frames: int = 60, hw=(480, 640), K=None, seed: int = 0,
-                  fps: float = 30.0):
+                  fps: float = 30.0, period: int = 120,
+                  forward_per_frame: float = 0.005):
     """Full synthetic RGB-D sequence.
+
+    ``period`` frames complete one orbit revolution: a sequence longer than
+    one period REVISITS its starting viewpoints — the loop-closure-heavy
+    workload (BASELINE config 5, TUM fr3/long_office role). Keep
+    ``forward_per_frame * period`` small for a revisit that actually
+    overlaps.
 
     Returns dict with images (list of uint8 (H,W)), depths (float32 meters),
     timestamps, gt poses (R_cw,t_cw), K.
@@ -208,7 +215,8 @@ def make_sequence(n_frames: int = 60, hw=(480, 640), K=None, seed: int = 0,
             [[517.3, 0, 318.6], [0, 516.5, 255.3], [0, 0, 1]], np.float32
         )
     scene = RoomScene(seed=seed)
-    poses = orbit_trajectory(n_frames)
+    poses = orbit_trajectory(n_frames, period=period,
+                             forward_per_frame=forward_per_frame)
     images, depths = [], []
     for (R, t) in poses:
         img, dep = scene.render(K, R, t, hw)
@@ -450,3 +458,102 @@ def make_imu_trajectory(n_kf: int = 16, kf_dt: float = 0.25,
     return dict(t_kf=t_kf, R_wb=R_wb, p_wb=p_wb, v_w=v_w, imu=segments,
                 g_w=g_w.astype(np.float32), bg=bg.astype(np.float32),
                 ba=ba.astype(np.float32))
+
+
+def make_loop_map(rng, n_kf=14, n_pts=400, drift_per_kf=0.012,
+                  revisit_tail=2, period=None, drift_xi=None,
+                  desc_dim=64):
+    """Deterministic drifted loop-closure map (no detector in the loop):
+    the camera walks a circle of ``period`` keyframes and returns; odometry
+    drift accumulates; the final ``revisit_tail`` KFs re-observe the first
+    KFs' regions through fresh DUPLICATE landmarks (exactly the drifted
+    revisit loop closure exists for — re-binding the old points would make
+    the revisit covisible and excluded from candidates). The
+    loop-closure-heavy workload of BASELINE config 5 (TUM
+    fr3/long_office_household role, /root/reference/src/LoopClosing.cc).
+
+    Returns (SlamMap, gt_poses, drifted_poses) with TUM1 intrinsics
+    (fx 517.3, fy 516.5, cx 318.6, cy 255.3)."""
+    import jax.numpy as jnp
+
+    from ..ops import lie
+    from ..slam.map import KeyFrame, SlamMap
+
+    period = period or n_kf
+    ang_pts = rng.uniform(0, 2 * np.pi, n_pts)
+    r_pts = rng.uniform(2.0, 3.5, n_pts)
+    X_gt = np.stack([
+        r_pts * np.sin(ang_pts), rng.uniform(-1.0, 1.0, n_pts),
+        r_pts * np.cos(ang_pts)
+    ], -1).astype(np.float32)
+    desc = rng.standard_normal((n_pts, desc_dim)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+
+    gt = []
+    for i in range(n_kf):
+        ang = 2 * np.pi * i / period
+        cy, sy = np.cos(ang), np.sin(ang)
+        R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+        C = 0.5 * np.array([np.sin(ang), 0.0, np.cos(ang) - 1.0], np.float32)
+        R_cw = R_wc.T
+        t_cw = -R_cw @ C
+        gt.append((R_cw, t_cw))
+
+    est = [gt[0]]
+    if drift_xi is None:
+        drift_xi = np.array([1.0, 0.3, -0.5, 0.15, 0.4, -0.2], np.float32)
+    for i in range(1, n_kf):
+        xi = drift_per_kf * np.asarray(drift_xi, np.float32)
+        dR, dt = lie.se3_exp(jnp.asarray(xi * i / n_kf))
+        R_d = np.asarray(dR) @ gt[i][0]
+        t_d = np.asarray(dR) @ gt[i][1] + np.asarray(dt) * i
+        est.append((R_d.astype(np.float32), t_d.astype(np.float32)))
+
+    m = SlamMap(desc_dim=desc_dim)
+    K_slots = 300
+    mp_of_point = {}
+    for i, (R, t) in enumerate(est):
+        Xc_gt = X_gt @ gt[i][0].T + gt[i][1]
+        z = Xc_gt[:, 2]
+        u = 517.3 * Xc_gt[:, 0] / np.maximum(z, 1e-6) + 318.6
+        v = 516.5 * Xc_gt[:, 1] / np.maximum(z, 1e-6) + 255.3
+        vis = (z > 0.5) & (u >= 10) & (u < 630) & (v >= 10) & (v < 470)
+        sel = np.nonzero(vis)[0][:K_slots]
+        kpts = np.zeros((K_slots, 2), np.float32)
+        dsc = np.zeros((K_slots, desc_dim), np.float32)
+        valid = np.zeros(K_slots, bool)
+        kpts[: len(sel)] = np.stack([u[sel], v[sel]], -1)
+        dsc[: len(sel)] = desc[sel]
+        valid[: len(sel)] = True
+        kf = KeyFrame(
+            kid=i, frame_id=i, timestamp=float(i),
+            kpts_un=kpts, desc=dsc, valid=valid,
+            ur=np.full(K_slots, -1.0, np.float32),
+            depth=np.zeros(K_slots, np.float32),
+            R=R.copy(), t=t.copy(),
+        )
+        m.keyframes[i] = kf
+        m.covis.setdefault(i, {})
+        if m.kf_origin is None:
+            m.kf_origin = i
+        revisit = i >= n_kf - revisit_tail
+        for slot, p in enumerate(sel):
+            p = int(p)
+            ray = np.array([(kpts[slot, 0] - 318.6) / 517.3,
+                            (kpts[slot, 1] - 255.3) / 516.5, 1.0],
+                           np.float32)
+            z_gt = float(Xc_gt[p, 2])
+            Xw = (R.T @ (ray * z_gt - t)).astype(np.float32)
+            if revisit:
+                mp = m.create_point(Xw, desc[p], i)
+            elif p not in mp_of_point:
+                mp = m.create_point(Xw, desc[p], i)
+                mp_of_point[p] = mp
+            else:
+                mp = mp_of_point[p]
+            m.add_observation(mp, i, slot, update_links=False)
+        m.update_connections(i)
+        kf.parent = i - 1 if i > 0 else -1
+        if i > 0:
+            m.keyframes[i - 1].children.add(i)
+    return m, gt, est
