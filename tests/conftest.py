@@ -57,3 +57,23 @@ def devices():
     import jax
 
     return jax.devices()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables and tracing caches after each test module.
+
+    A full-suite run accumulates hundreds of compiled CPU programs in one
+    process; past ~170 tests the XLA:CPU compiler segfaults compiling the
+    (deep, autodiff) Sim3 pose-graph graph in tests/test_solvers.py —
+    deterministically in full-suite order, never in isolation or in any
+    short prefix. Modules share almost no jit shapes, so per-module cache
+    clearing costs little and keeps the long-lived process off that cliff.
+    """
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()

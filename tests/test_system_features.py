@@ -583,3 +583,29 @@ class TestCodebookPersistence:
                                  map_id=m.map_id)
                 system.loop_closing.retrieval = retr
                 system.tracking.retrieval = retr
+
+
+class TestSaveDebugData:
+    def test_writes_init_files(self, tracked_system, tmp_path):
+        """System::SaveDebugData role (System.cc:1265-1303): per-init-
+        section scale / gravity / cost / KF-count dumps + the init
+        trajectory."""
+        system, _ = tracked_system
+        lm = system.local_mapping
+        # no inertial init yet: a no-op
+        system.save_debug_data(0, str(tmp_path))
+        assert not list(tmp_path.iterdir())
+        lm.init_sect = 1
+        lm.init_debug = [(1, 1.03, np.eye(3, dtype=np.float32), 12.5, 10)]
+        try:
+            system.save_debug_data(0, str(tmp_path))
+            names = {p.name for p in tmp_path.iterdir()}
+            assert names == {"init_FrameTrajectory_1_0.txt",
+                             "init_Scale_1.txt", "init_GDir_1.txt",
+                             "init_CompCost_1.txt", "init_KF_1.txt"}
+            assert (tmp_path / "init_Scale_1.txt").read_text() == "1.03\n"
+            gdir = (tmp_path / "init_GDir_1.txt").read_text().splitlines()
+            assert len(gdir) == 3 and gdir[0].split(",")[0] == "1.0"
+        finally:
+            lm.init_sect = 0
+            lm.init_debug = []

@@ -76,6 +76,11 @@ class LocalMapping:
         # (s, R_wg) the system must forward to tracking after an IMU init
         # rescaled the map (Tracking::UpdateFrameIMU role)
         self.pending_map_transform = None
+        # debug record of each inertial-init/refinement solve, consumed by
+        # System.save_debug_data (mInitSect/mScale/mRwg/mCostTime role,
+        # /root/reference/src/System.cc:1265-1303)
+        self.init_sect = 0
+        self.init_debug = []  # [(sect, scale, R_wg (3,3), cost, n_kfs)]
         # float descriptors need looser absolute thresholds than trained
         # weights would; binary (ORB) uses the reference values directly
         self.tri_max_dist = profile.th_low if profile.binary else profile.th_low * 6
@@ -410,6 +415,9 @@ class LocalMapping:
             f" gravity-tilt={tilt:.2f}deg cost={float(res.cost):.2f}",
             verbose.Level.VERBOSE,
         )
+        self.init_sect += 1
+        self.init_debug.append((self.init_sect, s, R_wg.copy(),
+                                float(res.cost), K))
         if not np.isfinite(s) or s < 1e-2 or s > 1e2:
             verbose.print_mess("IMU init rejected: scale out of range",
                                verbose.Level.NORMAL)

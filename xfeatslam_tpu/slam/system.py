@@ -557,6 +557,34 @@ class System:
         """ExecMean.txt-style per-stage stats (REGISTER_TIMES role)."""
         self.timer.dump(path)
 
+    def save_debug_data(self, init_idx: int, out_dir: str = "."):
+        """System::SaveDebugData (/root/reference/src/System.cc:1265-1303):
+        dump the inertial-initialization debug record — per init section,
+        the init trajectory (EuRoC format), estimated scale, gravity
+        direction, solver cost, and chain KF count — into
+        init_{Frame,Scale,GDir,CompCost,KF}_* files."""
+        import os
+
+        lm = self.local_mapping
+        if lm is None or not lm.init_debug:
+            return
+        sect = lm.init_debug[-1][0]
+        self.save_trajectory_euroc(os.path.join(
+            out_dir, f"init_FrameTrajectory_{sect}_{init_idx}.txt"))
+        for name, col in (("Scale", 1), ("CompCost", 3), ("KF", 4)):
+            with open(os.path.join(out_dir, f"init_{name}_{sect}.txt"),
+                      "a") as f:
+                for rec in lm.init_debug:
+                    if rec[0] == sect:
+                        f.write(f"{rec[col]}\n")
+        with open(os.path.join(out_dir, f"init_GDir_{sect}.txt"), "a") as f:
+            for rec in lm.init_debug:
+                if rec[0] == sect:
+                    R = rec[2]
+                    for r in range(3):
+                        f.write(",".join(f"{R[r, c]}" for c in range(3))
+                                + "\n")
+
     def shutdown(self):
         self._is_shutdown = True
         if self.loop_closing is not None:
