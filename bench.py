@@ -236,7 +236,15 @@ def bench_loop(n_kf: int = 40, period: int = 36, revisit_tail: int = 4):
     (/root/reference/src/LoopClosing.cc:324-1213,2268).
 
     Reports the saved-map ATE RMSE after correction; vs_baseline is the
-    improvement factor over the drifted (pre-correction) trajectory."""
+    improvement factor over the drifted (pre-correction) trajectory.
+
+    The map carries RGB-D (stereo-disparity) observations and loop closing
+    runs with fix_scale=True, exactly the reference's RGB-D configuration
+    (LoopClosing.cc:72 mbFixScale = sensor != MONOCULAR): scale is
+    observable, so the post-GBA unaligned ATE is gauge-free and meaningful.
+    (A mono variant of this map leaves BA a free scale gauge about the
+    fixed origin KF — unaligned ATE then mostly measures the arbitrary
+    gauge, not map quality.)"""
     import jax
 
     from xfeatslam_tpu.ops.camera import Pinhole
@@ -247,8 +255,9 @@ def bench_loop(n_kf: int = 40, period: int = 36, revisit_tail: int = 4):
     cam = Pinhole.from_list([517.3, 516.5, 318.6, 255.3])
     rng = np.random.default_rng(0)
     m, gt, est = make_loop_map(rng, n_kf=n_kf, n_pts=1200,
-                               period=period, revisit_tail=revisit_tail)
-    lc = LoopClosing(m, cam, fix_scale=False, confirmations=3,
+                               period=period, revisit_tail=revisit_tail,
+                               bf=40.0)
+    lc = LoopClosing(m, cam, bf=40.0, fix_scale=True, confirmations=3,
                      run_gba=True, proj_matches=25, proj_matches_strict=30)
     t0 = time.perf_counter()
     for kid in sorted(m.keyframes):
@@ -298,9 +307,10 @@ def main():
         print(json.dumps({
             "metric": f"slam_loop_closure_ate_rmse_{platform}",
             "value": round(rmse_a * 100, 3),
-            "unit": (f"cm ATE RMSE after {n_closed} loop closure(s) on a "
-                     "40-KF drifted revisit chain (retrieval + Sim3 + "
-                     "essential graph + GBA; BASELINE config 5 role)"),
+            "unit": (f"cm ATE RMSE, unaligned, after {n_closed} loop "
+                     "closure(s) on a 40-KF drifted RGB-D revisit chain "
+                     "(retrieval + Sim3 + fusion + essential graph + GBA; "
+                     "BASELINE config 5 role)"),
             "vs_baseline": round(rmse_b / max(rmse_a, 1e-9), 2),
         }))
     if args.mode in ("orb", "all"):

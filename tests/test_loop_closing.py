@@ -89,6 +89,33 @@ class TestLoopClosing:
         assert np.mean(errs_a) < 0.85 * np.mean(errs_b), (
             np.mean(errs_a), np.mean(errs_b))
 
+    def test_rgbd_loop_closes_to_metric_gt(self, rng):
+        """RGB-D loop-closing semantics (the bench --mode loop workload):
+        with stereo-disparity observations the scale gauge is pinned, loop
+        closing runs fix_scale=True (LoopClosing.cc:72 mbFixScale), and the
+        post-GBA map must land near ground truth in UNALIGNED ATE — there
+        is no free gauge left to hide behind. Also exercises loop fusion
+        (SearchAndFuse, LoopClosing.cc:1120-1140): without it the revisit
+        KFs' duplicate landmarks are single-observation points and those
+        KFs stay unconstrained in GBA."""
+        m, gt, est = build_loop_map(rng, n_kf=18, revisit_tail=4, period=14,
+                                    bf=40.0)
+        lc = LoopClosing(m, CAM, bf=40.0, fix_scale=True, confirmations=1,
+                         run_gba=True, proj_matches=25, proj_matches_strict=30)
+        for kid in sorted(m.keyframes):
+            lc.process_keyframe(kid)
+        assert len(lc.closed) >= 1
+        errs_b = np.array([np.linalg.norm(est[k][1] - gt[k][1])
+                           for k in m.keyframes])
+        errs_a = np.array([np.linalg.norm(m.keyframes[k].t - gt[k][1])
+                           for k in m.keyframes])
+        rmse_b = np.sqrt((errs_b ** 2).mean())
+        rmse_a = np.sqrt((errs_a ** 2).mean())
+        # >=4x RMSE improvement and every keyframe — including the revisit
+        # tail — within 3 cm of GT without any alignment
+        assert rmse_a < 0.25 * rmse_b, (rmse_a, rmse_b)
+        assert errs_a.max() < 0.03, errs_a.max()
+
     def test_no_false_loops_without_revisit(self, rng):
         m, gt, est = build_loop_map(rng, n_kf=8)
         # remove the final wrap-around KFs so nothing revisits KF0

@@ -350,9 +350,35 @@ class LoopClosing:
         kf1.loop_edges.add(ckid)
         kf2.loop_edges.add(kid)
 
+        # loop fusion: project the loop side's landmarks into every
+        # corrected-group keyframe and replace/bind duplicates
+        # (SearchAndFuse, /root/reference/src/LoopClosing.cc:1120-1140)
+        pre_covis = {gk: set(m.covisible_kfs(gk)) for gk in group
+                     if gk in m.keyframes}
+        n_fused = self._search_and_fuse(group, ckid)
+        # connections that exist only AFTER fusion are the LoopConnections
+        # (LoopClosing.cc:1142-1165): the essential graph must measure them
+        # from the CORRECTED estimates — measuring them like ordinary covis
+        # edges (pre-correction poses) would encode the drifted misclosure
+        # as a constraint and fight the loop correction
+        loop_connections = set()
+        if n_fused:
+            gset = set(group)
+            for gk, before in pre_covis.items():
+                if gk not in m.keyframes:
+                    continue
+                for nk in m.covisible_kfs(gk):
+                    if nk in gset or nk in before or nk not in m.keyframes:
+                        continue
+                    loop_connections.add((min(gk, nk), max(gk, nk)))
+            print_mess(f"loop fusion bound {n_fused} landmark duplicates, "
+                       f"{len(loop_connections)} new connections",
+                       Level.VERBOSE)
+
         # essential-graph optimization over all KFs
         self._optimize_essential_graph(kid, ckid, s12, R12, t12,
-                                       non_corrected=non_corrected)
+                                       non_corrected=non_corrected,
+                                       loop_connections=loop_connections)
         if self.run_gba:
             self.global_bundle_adjust()
         m.change_index += 1
@@ -379,20 +405,26 @@ class LoopClosing:
         return sorted(edges)
 
     def _optimize_essential_graph(self, kid: int, ckid: int, s12, R12, t12,
-                                  non_corrected: Optional[dict] = None):
+                                  non_corrected: Optional[dict] = None,
+                                  loop_connections: Optional[set] = None):
         """Optimize ALL keyframes over the essential graph (no truncation;
         problem arrays are padded to power-of-two buckets to bound jit
         signatures). Edge measurements for keyframes moved by _correct_loop
         come from their PRE-correction poses (``non_corrected``), mirroring
-        the reference's NonCorrectedSim3 (Optimizer.cc:1501-1784)."""
+        the reference's NonCorrectedSim3 (Optimizer.cc:1501-1784).
+        ``loop_connections`` (covisibilities created by loop fusion) are
+        included regardless of weight and measured from the CURRENT
+        (corrected) estimates, the reference's LoopConnections edge class
+        (Optimizer.cc:1559-1620 uses vScw, not NonCorrectedSim3, there)."""
         m = self.map
         kids = sorted(m.keyframes)
         if len(kids) < 3:
             return
         non_corrected = non_corrected or {}
+        loop_connections = loop_connections or set()
         index = {k: i for i, k in enumerate(kids)}
         C = _bucket(len(kids))
-        edges = self._essential_edges()
+        edges = sorted(set(self._essential_edges()) | loop_connections)
         E = _bucket(len(edges), lo=16)
         if len(kids) > 512:
             print_mess(f"essential graph: {len(kids)} KFs / {len(edges)} "
@@ -437,6 +469,16 @@ class LoopClosing:
                     inv = lie.sim3_inverse(jnp.float32(s12), jnp.asarray(R12),
                                            jnp.asarray(t12))
                     ms, mR, mt = float(inv[0]), np.asarray(inv[1]), np.asarray(inv[2])
+            elif (a, b) in loop_connections:
+                # post-fusion loop-region connection: measured from the
+                # CORRECTED estimates (vScw, Optimizer.cc:1559-1620)
+                kfa, kfb = m.keyframes[a], m.keyframes[b]
+                inv = lie.sim3_inverse(jnp.float32(1.0), jnp.asarray(kfa.R),
+                                       jnp.asarray(kfa.t))
+                comp = lie.sim3_compose(jnp.float32(1.0), jnp.asarray(kfb.R),
+                                        jnp.asarray(kfb.t), *inv)
+                ms, mR, mt = (float(comp[0]), np.asarray(comp[1]),
+                              np.asarray(comp[2]))
             else:
                 # m(a->b) = S_b * S_a^{-1} from pre-correction estimates
                 Ra, ta = pose_for_meas(a)
@@ -913,6 +955,84 @@ class LoopClosing:
         self.merged.append((m_new.map_id, m_old.map_id))
         m_old.change_index += 1
         return kid_offset
+
+    def _search_and_fuse(self, group, ckid: int) -> int:
+        """Loop fusion (SearchAndFuse, /root/reference/src/LoopClosing.cc:
+        1120-1140 + ORBmatcher::Fuse(Scw) ORBmatcher.cc:1640): project the
+        loop side's landmarks (matched KF + its covisibles) into every
+        corrected-group keyframe with a tight radius; a matched slot that
+        already holds a landmark is REPLACED by the loop landmark (the loop
+        side is trusted, MapPoint::Replace direction pRep->Replace(pLoopMP)),
+        an empty slot gains an observation. This is what ties a revisit
+        keyframe's freshly-triangulated duplicate landmarks back to the old
+        map — without it those duplicates are single-observation points
+        that constrain nothing in the subsequent GBA. Returns the number of
+        fused/bound slots."""
+        m = self.map
+        loop_mps = []
+        for k in [ckid] + m.covisible_kfs(ckid):
+            kf = m.keyframes.get(k)
+            if kf is None:
+                continue
+            loop_mps.extend(int(x) for x in kf.mp_ids[kf.mp_ids >= 0])
+        loop_mps = [p for p in dict.fromkeys(loop_mps) if m.points.alive[p]]
+        if len(loop_mps) > 4096:
+            print_mess(f"SearchAndFuse cap hit: 4096 of {len(loop_mps)} "
+                       f"loop points", Level.VERBOSE)
+            loop_mps = loop_mps[:4096]
+        if not loop_mps:
+            return 0
+        binary = m.desc_dim > 64
+        fused = 0
+        for gk in group:
+            kf = m.keyframes.get(gk)
+            if kf is None:
+                continue
+            # recompute aliveness each keyframe: replace_point retires
+            # loop-side duplicates as we fuse
+            alive = m.points.alive[loop_mps]
+            pos = m.points.pos[loop_mps]
+            Xc = pos @ kf.R.T + kf.t
+            z = Xc[:, 2]
+            vis = (z > 0.05) & alive
+            zs = np.where(z > 0.05, z, 1.0)
+            u = float(self.cam.fx) * Xc[:, 0] / zs + float(self.cam.cx)
+            v = float(self.cam.fy) * Xc[:, 1] / zs + float(self.cam.cy)
+            uv = np.stack([u, v], -1).astype(np.float32)
+            res = matching.search_by_projection(
+                jnp.asarray(uv), jnp.asarray(m.points.desc[loop_mps]),
+                jnp.asarray(vis),
+                jnp.asarray(kf.kpts_un), jnp.asarray(kf.desc),
+                jnp.asarray(kf.valid),
+                radius=4.0,
+                max_dist=jnp.float32(
+                    matching.ORB_TH_LOW if binary else matching.TH_LOW * 6
+                ),
+                ratio=0.9, binary=binary,
+            )
+            idx = np.asarray(res.idx)
+            mask = np.asarray(res.mask)
+            for i in np.nonzero(mask)[0]:
+                lmp = loop_mps[i]
+                if not m.points.alive[lmp]:
+                    continue
+                slot = int(idx[i])
+                cur = int(kf.mp_ids[slot])
+                if cur == lmp:
+                    continue
+                if cur >= 0 and m.points.alive[cur]:
+                    m.replace_point(cur, lmp)
+                    fused += 1
+                elif gk not in m.obs.get(lmp, {}):
+                    m.add_observation(lmp, gk, slot, update_links=False)
+                    fused += 1
+        if fused:
+            # fusion creates the loop-region covisibilities the essential
+            # graph consumes (LoopConnections, LoopClosing.cc:1142-1165)
+            for gk in group:
+                if gk in m.keyframes:
+                    m.update_connections(gk)
+        return fused
 
     def _fuse_weld(self, kid: int, ckid: int):
         """Merge duplicate landmarks between the welded regions by projecting

@@ -462,7 +462,7 @@ def make_imu_trajectory(n_kf: int = 16, kf_dt: float = 0.25,
 
 def make_loop_map(rng, n_kf=14, n_pts=400, drift_per_kf=0.012,
                   revisit_tail=2, period=None, drift_xi=None,
-                  desc_dim=64):
+                  desc_dim=64, bf=0.0):
     """Deterministic drifted loop-closure map (no detector in the loop):
     the camera walks a circle of ``period`` keyframes and returns; odometry
     drift accumulates; the final ``revisit_tail`` KFs re-observe the first
@@ -471,6 +471,14 @@ def make_loop_map(rng, n_kf=14, n_pts=400, drift_per_kf=0.012,
     the revisit covisible and excluded from candidates). The
     loop-closure-heavy workload of BASELINE config 5 (TUM
     fr3/long_office_household role, /root/reference/src/LoopClosing.cc).
+
+    ``bf=0`` leaves every observation monocular — BA over the result then
+    has a free scale gauge about the fixed origin KF (only unaligned-ATE-
+    visible, not cost-visible). ``bf>0`` fills stereo disparities
+    ``ur = u - bf/z`` and per-slot depths from ground-truth geometry
+    (mvuRight/mvDepth, /root/reference/src/Frame.cc:871-905), the RGB-D
+    workload the config models: scale becomes observable and loop closing
+    should run with ``fix_scale=True`` (LoopClosing.cc:72 mbFixScale).
 
     Returns (SlamMap, gt_poses, drifted_poses) with TUM1 intrinsics
     (fx 517.3, fy 516.5, cx 318.6, cy 255.3)."""
@@ -525,11 +533,17 @@ def make_loop_map(rng, n_kf=14, n_pts=400, drift_per_kf=0.012,
         kpts[: len(sel)] = np.stack([u[sel], v[sel]], -1)
         dsc[: len(sel)] = desc[sel]
         valid[: len(sel)] = True
+        ur_arr = np.full(K_slots, -1.0, np.float32)
+        depth_arr = np.zeros(K_slots, np.float32)
+        if bf > 0:
+            z_sel = Xc_gt[sel, 2]
+            ur_arr[: len(sel)] = u[sel] - bf / z_sel
+            depth_arr[: len(sel)] = z_sel
         kf = KeyFrame(
             kid=i, frame_id=i, timestamp=float(i),
             kpts_un=kpts, desc=dsc, valid=valid,
-            ur=np.full(K_slots, -1.0, np.float32),
-            depth=np.zeros(K_slots, np.float32),
+            ur=ur_arr,
+            depth=depth_arr,
             R=R.copy(), t=t.copy(),
         )
         m.keyframes[i] = kf
