@@ -936,9 +936,16 @@ class LoopClosing:
             # both inertial: adopt the active map's (fresher) bias estimate
             m_old.imu_bg = m_new.imu_bg.copy()
             m_old.imu_ba = m_new.imu_ba.copy()
-        # fuse duplicate landmarks around the weld (SearchAndFuse role)
+        # fuse duplicate landmarks around the weld: old-map welding-window
+        # points projected into the moved KF AND its covisibles, old side
+        # winning on conflict (SearchAndFuse over vpCurrentConnectedKFs,
+        # /root/reference/src/LoopClosing.cc:1489-1529)
         self.map = m_old
-        self._fuse_weld(new_kid, ckid)
+        weld_group = [new_kid] + m_old.covisible_kfs(new_kid)
+        n_weld_fused = self._search_and_fuse(weld_group, ckid)
+        if n_weld_fused:
+            print_mess(f"weld fusion bound {n_weld_fused} landmark "
+                       f"duplicates", Level.VERBOSE)
         if m_old.imu_initialized and self.welding_iba is not None:
             # MergeInertialBA (LoopClosing.cc:2051 -> Optimizer.cc:3948):
             # joint visual-inertial refinement of the two temporal windows
@@ -1034,49 +1041,3 @@ class LoopClosing:
                     m.update_connections(gk)
         return fused
 
-    def _fuse_weld(self, kid: int, ckid: int):
-        """Merge duplicate landmarks between the welded regions by projecting
-        the old-side points into the moved keyframe and matching."""
-        m = self.map
-        kf1 = m.keyframes[kid]
-        cand_mps = []
-        for k in [ckid] + m.covisible_kfs(ckid, 10):
-            kf = m.keyframes.get(k)
-            if kf is None:
-                continue
-            cand_mps.extend(int(x) for x in kf.mp_ids[kf.mp_ids >= 0])
-        cand_mps = list(dict.fromkeys(cand_mps))[:2048]
-        if not cand_mps:
-            return
-        pos = m.points.pos[cand_mps]
-        Xc = pos @ kf1.R.T + kf1.t
-        z = Xc[:, 2]
-        vis = z > 0.05
-        zs = np.where(vis, z, 1.0)
-        u = float(self.cam.fx) * Xc[:, 0] / zs + float(self.cam.cx)
-        v = float(self.cam.fy) * Xc[:, 1] / zs + float(self.cam.cy)
-        uv = np.stack([u, v], -1).astype(np.float32)
-        binary = m.desc_dim > 64
-        res = matching.search_by_projection(
-            jnp.asarray(uv), jnp.asarray(m.points.desc[cand_mps]),
-            jnp.asarray(vis & m.points.alive[cand_mps]),
-            jnp.asarray(kf1.kpts_un), jnp.asarray(kf1.desc),
-            jnp.asarray(kf1.valid),
-            radius=5.0,
-            max_dist=jnp.float32(
-                matching.ORB_TH_LOW if binary else matching.TH_LOW * 6
-            ),
-            ratio=0.9, binary=binary,
-        )
-        idx = np.asarray(res.idx)
-        mask = np.asarray(res.mask)
-        for i in np.nonzero(mask)[0]:
-            old_mp = cand_mps[i]
-            slot = int(idx[i])
-            new_mp = int(kf1.mp_ids[slot])
-            if new_mp >= 0 and new_mp != old_mp and m.points.alive[new_mp]:
-                # keep the longer-observed side (reference keeps more-obs MP)
-                if m.points.n_obs[old_mp] >= m.points.n_obs[new_mp]:
-                    m.replace_point(new_mp, old_mp)
-                else:
-                    m.replace_point(old_mp, new_mp)
