@@ -104,6 +104,25 @@ def bench_jax(images):
     return fps, platform
 
 
+def pinned_baseline_fps():
+    """Read the pinned libtorch-CPU baseline (BASELINE_CPU.json, written by
+    tools/pin_baseline.py). Pinning keeps vs_baseline stable across bench
+    runs — re-measuring under variable host load moved the recorded ratio
+    508x -> 358x between rounds with no repo change (VERDICT r4 item 6).
+    Returns None if the file is absent (then the baseline is measured)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_CPU.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        fps = float(rec["value"])
+        print(f"# baseline: pinned {fps} fps from BASELINE_CPU.json "
+              f"({rec.get('environment', '?')})", file=sys.stderr)
+        return fps
+    except (OSError, KeyError, ValueError):
+        return None
+
+
 def bench_torch_cpu(images, n_frames=2):
     """Reference-equivalent libtorch-CPU pipeline (same network shape +
     post-processing), timed per frame."""
@@ -285,7 +304,9 @@ def main():
     if args.mode in ("offline", "all"):
         images = make_images(BATCH)
         fps, platform = bench_jax(images)
-        base_fps = bench_torch_cpu(images)
+        base_fps = pinned_baseline_fps()
+        if base_fps is None:
+            base_fps = bench_torch_cpu(images)
         print(json.dumps({
             "metric": f"xfeat_extract_match_throughput_{platform}",
             "value": round(fps, 2),

@@ -165,7 +165,13 @@ class LocalMapping:
                 if mp not in seen and self.map.points.alive[mp]:
                     seen.add(mp)
                     pt_ids.append(mp)
-        pt_ids = pt_ids[:BA_MAX_PTS]
+        if len(pt_ids) > BA_MAX_PTS:
+            from ..utils import verbose
+
+            verbose.print_mess(
+                f"local BA point cap hit: {BA_MAX_PTS} of "
+                f"{len(pt_ids)} points", verbose.Level.VERBOSE)
+            pt_ids = pt_ids[:BA_MAX_PTS]
         pt_index = {mp: i for i, mp in enumerate(pt_ids)}
         # fixed KFs: observers of local points outside the opt set
         fixed_ids: List[int] = []
@@ -204,6 +210,11 @@ class LocalMapping:
                 if len(obs_cam) >= BA_MAX_OBS:
                     break
             if len(obs_cam) >= BA_MAX_OBS:
+                from ..utils import verbose
+
+                verbose.print_mess(
+                    f"local BA observation cap hit: {BA_MAX_OBS}",
+                    verbose.Level.VERBOSE)
                 break
         n_obs = len(obs_cam)
         if n_obs < 20:

@@ -196,6 +196,12 @@ class LoopClosing:
             out[: min(len(a), PAIR_BUCKET)] = a[:PAIR_BUCKET]
             return out
 
+        if len(slots1) > PAIR_BUCKET:
+            from ..utils import verbose
+
+            verbose.print_mess(
+                f"Sim3 pair bucket cap hit: {PAIR_BUCKET} of "
+                f"{len(slots1)} matched pairs", verbose.Level.VERBOSE)
         n = min(len(slots1), PAIR_BUCKET)
         valid = np.zeros(PAIR_BUCKET, bool)
         valid[:n] = True
@@ -811,6 +817,12 @@ class LoopClosing:
             out[: min(len(a), PAIR_BUCKET)] = a[:PAIR_BUCKET]
             return out
 
+        if len(slots1) > PAIR_BUCKET:
+            from ..utils import verbose
+
+            verbose.print_mess(
+                f"Sim3 pair bucket cap hit: {PAIR_BUCKET} of "
+                f"{len(slots1)} matched pairs", verbose.Level.VERBOSE)
         n = min(len(slots1), PAIR_BUCKET)
         valid = np.zeros(PAIR_BUCKET, bool)
         valid[:n] = True

@@ -1530,6 +1530,12 @@ class Tracking:
             return
         P = 1024
         O = 2048
+        if len(pt_ids) > P:
+            from ..utils import verbose
+
+            verbose.print_mess(
+                f"mono-init GBA point cap hit: {P} of {len(pt_ids)} points",
+                verbose.Level.VERBOSE)
         obs_cam, obs_pt, uv = [], [], []
         pt_index = {mp: i for i, mp in enumerate(pt_ids[:P])}
         for mp, i in pt_index.items():
