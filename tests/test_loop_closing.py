@@ -143,6 +143,80 @@ class TestLoopClosing:
         first_detect = lc.detected[0][0]
         assert lc.closed[0][0] >= first_detect + 2
 
+    def test_search_by_sim3_extends_marginal_loops(self, rng):
+        """SearchBySim3 parity (/root/reference/src/ORBmatcher.cc:1642, used
+        at LoopClosing.cc:769-841): with heavy per-observation descriptor
+        noise, many true correspondences land ABOVE the pairwise TH_LOW
+        match gate (the reference's SearchByBoW regime) but BELOW the
+        Sim3-guided TH_HIGH window gate — the threshold split the reference
+        designs SearchBySim3 around. The extension must enlarge the
+        correspondence set by bidirectional Sim3 projection and the re-run
+        OptimizeSim3 must produce a measurably MORE ACCURATE Sim3 (vs
+        ground truth) than the sparse initial set alone — at least matching
+        the clean-descriptor run. Also pins fix_scale: the scale tangent
+        stays frozen (VertexSim3Expmap _fix_scale, Optimizer.cc:2135)."""
+        def run(desc_noise, extend=True):
+            r = np.random.default_rng(11)
+            m, gt, est = build_loop_map(r, n_kf=18, revisit_tail=4,
+                                        period=14, bf=40.0, px_noise=1.5,
+                                        desc_noise=desc_noise)
+            lc = LoopClosing(m, CAM, bf=40.0, fix_scale=True,
+                             confirmations=1, run_gba=False,
+                             proj_matches=25, proj_matches_strict=30)
+            if not extend:
+                lc._search_by_sim3 = (
+                    lambda m1, kf1, m2, kf2, s1, s2, *a, **k: (s1, s2))
+            init_pairs = []
+            orig_mp = lc._matched_pairs
+
+            def spy_mp(kid, ckid):
+                out = orig_mp(kid, ckid)
+                if not lc.closed:  # post-close fusion inflates match counts
+                    init_pairs.append(len(out[2]))
+                return out
+
+            lc._matched_pairs = spy_mp
+            # record the FIRST verified Sim3's error against ground truth:
+            # the current KF's detections were made from its GT pose, the
+            # candidate side is trusted, so the ideal S12 = T1_gt o T2^-1
+            rec = {}
+            orig_cl = lc._correct_loop
+
+            def spy_cl(kid, ckid, s, R, t):
+                if not rec:
+                    kf2 = m.keyframes[ckid]
+                    R_i = gt[kid][0] @ kf2.R.T
+                    t_i = gt[kid][1] - R_i @ kf2.t
+                    rec["err_t"] = float(np.linalg.norm(np.asarray(t) - t_i))
+                    ctheta = (np.trace(np.asarray(R) @ R_i.T) - 1) / 2
+                    rec["err_rot"] = float(np.arccos(np.clip(ctheta, -1, 1)))
+                    rec["err_s"] = abs(float(s) - 1.0)
+                return orig_cl(kid, ckid, s, R, t)
+
+            lc._correct_loop = spy_cl
+            for kid in sorted(m.keyframes):
+                lc.process_keyframe(kid)
+            return lc, init_pairs, rec
+
+        lc_dense, pairs_dense, rec_dense = run(desc_noise=0.0)
+        lc_ext, pairs_ext, rec_ext = run(desc_noise=0.125)
+        lc_no, pairs_no, rec_no = run(desc_noise=0.125, extend=False)
+        assert len(lc_dense.closed) >= 1 and len(lc_ext.closed) >= 1
+        assert len(lc_no.closed) >= 1
+        # descriptor noise starved the pairwise set; the extension enlarged
+        # it substantially before the second OptimizeSim3
+        assert max(pairs_ext) < max(pairs_dense), (pairs_ext, pairs_dense)
+        assert lc_ext.n_sim3_extended >= 0.5 * max(pairs_ext), (
+            lc_ext.n_sim3_extended, max(pairs_ext))
+        # the re-optimized Sim3 beats the sparse-set Sim3 and at least
+        # matches the dense run's accuracy
+        assert rec_ext["err_t"] < 0.7 * rec_no["err_t"], (rec_ext, rec_no)
+        assert rec_ext["err_rot"] < rec_no["err_rot"], (rec_ext, rec_no)
+        assert rec_ext["err_t"] <= rec_dense["err_t"], (rec_ext, rec_dense)
+        # fix_scale freezes the scale dof exactly
+        for rec in (rec_dense, rec_ext, rec_no):
+            assert rec["err_s"] == 0.0, rec
+
     def test_no_false_loop_on_self_similar_texture(self, rng):
         """Adversarial: a far-away section REUSES the same descriptor bank
         (speckle-alias scenario) with different geometry. Retrieval will

@@ -138,8 +138,15 @@ def optimize_sim3(s0, R0, t0, Xc1, Xc2, uv1, uv2, valid, cam: Pinhole,
                   iters: int = 20, fix_scale: bool = False):
     """Robust LM refinement of a Sim3 (OptimizeSim3 role: paired forward and
     inverse reprojection edges with Huber, Optimizer.cc:2115). Autodiff
-    Jacobians on the 7-dof tangent; returns refined Sim3 + inlier count."""
+    Jacobians on the 7-dof tangent; returns refined Sim3 + inlier count.
+
+    fix_scale freezes the scale tangent component (the reference's
+    VertexSim3Expmap _fix_scale, /root/reference/src/Optimizer.cc:2135:
+    vSim3->_fix_scale = bFixScale) — RGB-D/stereo loops must not let the
+    optimizer trade scale against reprojection noise."""
     delta2 = jnp.float32(CHI2)
+    # tangent layout [rho(3), phi(3), sigma(1)] (ops/lie.sim3_exp)
+    dof_mask = jnp.ones(7).at[6].set(0.0) if fix_scale else jnp.ones(7)
 
     def residual_all(xi):
         ds, dR, dt = lie.sim3_exp(xi)
@@ -167,6 +174,7 @@ def optimize_sim3(s0, R0, t0, Xc1, Xc2, uv1, uv2, valid, cam: Pinhole,
         J = jax.jacfwd(lambda d: jnp.concatenate(
             [x.reshape(-1) for x in residual_all(xi + d)]
         ))(jnp.zeros(7))  # (4N, 7)
+        J = J * dof_mask[None, :]  # frozen dofs contribute nothing
         e = jnp.concatenate([e1.reshape(-1), e2.reshape(-1)])
         wr = jnp.concatenate([jnp.repeat(w, 2), jnp.repeat(w, 2)])
         Jw = J * wr[:, None]
@@ -175,6 +183,7 @@ def optimize_sim3(s0, R0, t0, Xc1, Xc2, uv1, uv2, valid, cam: Pinhole,
         Hd = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-8 * jnp.eye(7)
         sc = jax.lax.rsqrt(jnp.diagonal(Hd) + 1e-12)
         dx = jnp.linalg.solve(Hd * sc[:, None] * sc[None, :], b * sc) * sc
+        dx = dx * dof_mask
         c0 = cost_at(xi)
         c1 = cost_at(xi + dx)
         ok = (c1 < c0) & jnp.all(jnp.isfinite(dx))

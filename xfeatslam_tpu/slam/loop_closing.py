@@ -73,6 +73,7 @@ class LoopClosing:
         else:
             slam_map.on_kf_removed = lambda mid, kid: _evict(mid, kid)
         self.detected: List[tuple] = []  # (kid, cand) raw candidates
+        self.n_sim3_extended = 0  # pairs added by SearchBySim3 (stats/tests)
         self.closed: List[tuple] = []  # (kid, cand) corrected loops
         self.merged: List[tuple] = []  # (new_map_id, old_map_id)
         # MergeInertialBA hook (LoopClosing.cc:2051): System wires this to
@@ -178,16 +179,13 @@ class LoopClosing:
         slots2 = idx[slots1]
         return kf1, kf2, slots1, slots2
 
-    def _verify_and_correct(self, kid: int, ckid: int) -> bool:
-        kf1, kf2, slots1, slots2 = self._matched_pairs(kid, ckid)
-        if len(slots1) < 20:  # reference needs >=20 BoW matches (:691)
-            return False
+    def _sim3_pairs_arrays(self, m1, kf1, m2, kf2, slots1, slots2):
+        """Camera-frame point/pixel arrays for a matched slot-pair set,
+        padded to PAIR_BUCKET. Returns (Xc1, Xc2, uv1, uv2, valid)."""
         mp1 = kf1.mp_ids[slots1]
         mp2 = kf2.mp_ids[slots2]
-        X1w = self.map.points.pos[mp1]
-        X2w = self.map.points.pos[mp2]
-        Xc1 = X1w @ kf1.R.T + kf1.t
-        Xc2 = X2w @ kf2.R.T + kf2.t
+        Xc1 = m1.points.pos[mp1] @ kf1.R.T + kf1.t
+        Xc2 = m2.points.pos[mp2] @ kf2.R.T + kf2.t
         uv1 = kf1.kpts_un[slots1]
         uv2 = kf2.kpts_un[slots2]
 
@@ -197,30 +195,132 @@ class LoopClosing:
             return out
 
         if len(slots1) > PAIR_BUCKET:
-            from ..utils import verbose
-
-            verbose.print_mess(
-                f"Sim3 pair bucket cap hit: {PAIR_BUCKET} of "
-                f"{len(slots1)} matched pairs", verbose.Level.VERBOSE)
-        n = min(len(slots1), PAIR_BUCKET)
+            print_mess(f"Sim3 pair bucket cap hit: {PAIR_BUCKET} of "
+                       f"{len(slots1)} matched pairs", Level.VERBOSE)
         valid = np.zeros(PAIR_BUCKET, bool)
-        valid[:n] = True
+        valid[: min(len(slots1), PAIR_BUCKET)] = True
+        return (jnp.asarray(pad(Xc1)), jnp.asarray(pad(Xc2)),
+                jnp.asarray(pad(uv1)), jnp.asarray(pad(uv2)),
+                jnp.asarray(valid))
+
+    def _search_by_sim3(self, m1, kf1, m2, kf2, slots1, slots2,
+                        s12, R12, t12, radius: float = 7.5):
+        """SearchBySim3 (/root/reference/src/ORBmatcher.cc:1642, used at
+        LoopClosing.cc:769-841): extend a pairwise match set by BIDIRECTIONAL
+        Sim3-guided projection — each side's landmarks are projected into the
+        other keyframe through the verified Sim3 and matched within a window;
+        only mutually-agreeing pairs are added. The caller re-runs
+        OptimizeSim3 on the enlarged set, so marginal-but-true loops (20-30
+        initial pairwise matches) get a Sim3 constrained by the full
+        correspondence set rather than the initial sparse one.
+
+        S12 maps kf2-camera coords into kf1-camera coords. Returns extended
+        (slots1, slots2) arrays."""
+        s12 = float(s12)
+        R12 = np.asarray(R12)
+        t12 = np.asarray(t12)
+        binary = m1.desc_dim > 64
+        max_dist = jnp.float32(
+            matching.ORB_TH_HIGH if binary else matching.TH_HIGH)
+
+        def landmark_slots(m, kf):
+            b = kf.mp_ids >= 0
+            ok = b & kf.valid & m.points.alive[np.where(b, kf.mp_ids, 0)]
+            return np.nonzero(ok)[0]
+
+        def project(m, kf_src, slots_src, kf_dst, sim3):
+            """Project kf_src's landmarks into kf_dst through ``sim3``
+            (s,R,t mapping src-cam -> dst-cam); window-match against
+            kf_dst's landmark-bearing slots. Returns (dst_slot per src slot,
+            mask) arrays over ``slots_src``."""
+            s_, R_, t_ = sim3
+            mps = kf_src.mp_ids[slots_src]
+            Xc_src = m.points.pos[mps] @ kf_src.R.T + kf_src.t
+            Xc_dst = s_ * (Xc_src @ R_.T) + t_
+            z = Xc_dst[:, 2]
+            vis = z > 0.05
+            zs = np.where(vis, z, 1.0)
+            u = float(self.cam.fx) * Xc_dst[:, 0] / zs + float(self.cam.cx)
+            v = float(self.cam.fy) * Xc_dst[:, 1] / zs + float(self.cam.cy)
+            uv = np.stack([u, v], -1).astype(np.float32)
+            dst_has_mp = kf_dst.mp_ids >= 0
+            res = matching.search_by_projection(
+                jnp.asarray(uv), jnp.asarray(kf_src.desc[slots_src]),
+                jnp.asarray(vis),
+                jnp.asarray(kf_dst.kpts_un), jnp.asarray(kf_dst.desc),
+                jnp.asarray(dst_has_mp & kf_dst.valid),
+                radius=jnp.float32(radius), max_dist=max_dist,
+                ratio=1.0, binary=binary,
+            )
+            return np.asarray(res.idx), np.asarray(res.mask)
+
+        sl1 = landmark_slots(m1, kf1)
+        sl2 = landmark_slots(m2, kf2)
+        if len(sl1) == 0 or len(sl2) == 0:
+            return slots1, slots2
+        inv = lie.sim3_inverse(jnp.float32(s12), jnp.asarray(R12),
+                               jnp.asarray(t12))
+        s21, R21, t21 = float(inv[0]), np.asarray(inv[1]), np.asarray(inv[2])
+        # kf1 landmarks -> kf2 image (S21), kf2 landmarks -> kf1 image (S12)
+        idx12, ok12 = project(m1, kf1, sl1, kf2, (s21, R21, t21))
+        idx21, ok21 = project(m2, kf2, sl2, kf1, (s12, R12, t12))
+        # mutual agreement in slot space (vnMatch2[vnMatch1[i1]] == i1)
+        back = -np.ones(len(kf1.mp_ids), np.int64)
+        for j, slot2 in enumerate(sl2):
+            if ok21[j]:
+                back[idx21[j]] = slot2
+        have1 = set(int(x) for x in slots1)
+        have2 = set(int(x) for x in slots2)
+        add1, add2 = [], []
+        for i, slot1 in enumerate(sl1):
+            if not ok12[i]:
+                continue
+            slot2 = int(idx12[i])
+            if back[slot1] != slot2:
+                continue
+            if int(slot1) in have1 or slot2 in have2:
+                continue
+            add1.append(int(slot1))
+            add2.append(slot2)
+        if not add1:
+            return slots1, slots2
+        self.n_sim3_extended += len(add1)
+        print_mess(f"SearchBySim3 extended {len(slots1)} -> "
+                   f"{len(slots1) + len(add1)} pairs", Level.VERBOSE)
+        return (np.concatenate([slots1, np.asarray(add1, slots1.dtype)]),
+                np.concatenate([slots2, np.asarray(add2, slots2.dtype)]))
+
+    def _verify_and_correct(self, kid: int, ckid: int) -> bool:
+        kf1, kf2, slots1, slots2 = self._matched_pairs(kid, ckid)
+        if len(slots1) < 20:  # reference needs >=20 BoW matches (:691)
+            return False
+        Xc1, Xc2, uv1, uv2, valid = self._sim3_pairs_arrays(
+            self.map, kf1, self.map, kf2, slots1, slots2)
         res = sim3_mod.sim3_ransac(
-            jnp.asarray(pad(Xc1)), jnp.asarray(pad(Xc2)),
-            jnp.asarray(pad(uv1)), jnp.asarray(pad(uv2)),
-            jnp.asarray(valid), self.cam, jax.random.PRNGKey(kid),
+            Xc1, Xc2, uv1, uv2, valid, self.cam, jax.random.PRNGKey(kid),
             min_inliers=15, fix_scale=self.fix_scale,
         )
         if not bool(res.success):
             return False
         s, R, t, inl, n_inl = sim3_mod.optimize_sim3(
-            res.s, res.R, res.t,
-            jnp.asarray(pad(Xc1)), jnp.asarray(pad(Xc2)),
-            jnp.asarray(pad(uv1)), jnp.asarray(pad(uv2)),
-            jnp.asarray(valid), self.cam, fix_scale=self.fix_scale,
+            res.s, res.R, res.t, Xc1, Xc2, uv1, uv2, valid, self.cam,
+            fix_scale=self.fix_scale,
         )
         if int(n_inl) < 20:  # OptimizeSim3 gate (:808)
             return False
+        # SearchBySim3 correspondence extension + re-optimization on the
+        # enlarged set (ORBmatcher.cc:1642; LoopClosing.cc:769-841)
+        ext1, ext2 = self._search_by_sim3(self.map, kf1, self.map, kf2,
+                                          slots1, slots2, s, R, t)
+        if len(ext1) > len(slots1):
+            Xc1, Xc2, uv1, uv2, valid = self._sim3_pairs_arrays(
+                self.map, kf1, self.map, kf2, ext1, ext2)
+            s, R, t, inl, n_inl = sim3_mod.optimize_sim3(
+                s, R, t, Xc1, Xc2, uv1, uv2, valid, self.cam,
+                fix_scale=self.fix_scale,
+            )
+            if int(n_inl) < 20:
+                return False
         # Sim3-guided projection re-search (LoopClosing.cc:843-880): project
         # the loop window's landmarks into the current KF through the
         # verified Sim3 — a TRUE loop re-finds most of the old structure; a
@@ -807,41 +907,34 @@ class LoopClosing:
         slots2 = idx[slots1]
         if len(slots1) < 20:
             return False
-        Xc1 = m_new.points.pos[kf1.mp_ids[slots1]] @ kf1.R.T + kf1.t
-        Xc2 = m_old.points.pos[kf2.mp_ids[slots2]] @ kf2.R.T + kf2.t
-        uv1 = kf1.kpts_un[slots1]
-        uv2 = kf2.kpts_un[slots2]
-
-        def pad(a, fill=0.0):
-            out = np.full((PAIR_BUCKET,) + a.shape[1:], fill, a.dtype)
-            out[: min(len(a), PAIR_BUCKET)] = a[:PAIR_BUCKET]
-            return out
-
-        if len(slots1) > PAIR_BUCKET:
-            from ..utils import verbose
-
-            verbose.print_mess(
-                f"Sim3 pair bucket cap hit: {PAIR_BUCKET} of "
-                f"{len(slots1)} matched pairs", verbose.Level.VERBOSE)
-        n = min(len(slots1), PAIR_BUCKET)
-        valid = np.zeros(PAIR_BUCKET, bool)
-        valid[:n] = True
+        Xc1, Xc2, uv1, uv2, valid = self._sim3_pairs_arrays(
+            m_new, kf1, m_old, kf2, slots1, slots2)
         rs = sim3_mod.sim3_ransac(
-            jnp.asarray(pad(Xc1)), jnp.asarray(pad(Xc2)),
-            jnp.asarray(pad(uv1)), jnp.asarray(pad(uv2)),
-            jnp.asarray(valid), self.cam, jax.random.PRNGKey(kid + 7777),
+            Xc1, Xc2, uv1, uv2, valid, self.cam,
+            jax.random.PRNGKey(kid + 7777),
             min_inliers=15, fix_scale=self.fix_scale,
         )
         if not bool(rs.success):
             return False
         s, R, t, inl, n_inl = sim3_mod.optimize_sim3(
-            rs.s, rs.R, rs.t,
-            jnp.asarray(pad(Xc1)), jnp.asarray(pad(Xc2)),
-            jnp.asarray(pad(uv1)), jnp.asarray(pad(uv2)),
-            jnp.asarray(valid), self.cam, fix_scale=self.fix_scale,
+            rs.s, rs.R, rs.t, Xc1, Xc2, uv1, uv2, valid, self.cam,
+            fix_scale=self.fix_scale,
         )
         if int(n_inl) < 20:
             return False
+        # SearchBySim3 extension + re-optimization (also used on the merge
+        # path: DetectCommonRegionsFromBoW serves both, LoopClosing.cc:769)
+        ext1, ext2 = self._search_by_sim3(m_new, kf1, m_old, kf2,
+                                          slots1, slots2, s, R, t)
+        if len(ext1) > len(slots1):
+            Xc1, Xc2, uv1, uv2, valid = self._sim3_pairs_arrays(
+                m_new, kf1, m_old, kf2, ext1, ext2)
+            s, R, t, inl, n_inl = sim3_mod.optimize_sim3(
+                s, R, t, Xc1, Xc2, uv1, uv2, valid, self.cam,
+                fix_scale=self.fix_scale,
+            )
+            if int(n_inl) < 20:
+                return False
         self.merge_maps(m_new, m_old, kid, ckid,
                         float(s), np.asarray(R), np.asarray(t))
         return True

@@ -462,7 +462,8 @@ def make_imu_trajectory(n_kf: int = 16, kf_dt: float = 0.25,
 
 def make_loop_map(rng, n_kf=14, n_pts=400, drift_per_kf=0.012,
                   revisit_tail=2, period=None, drift_xi=None,
-                  desc_dim=64, bf=0.0):
+                  desc_dim=64, bf=0.0,
+                  px_noise: float = 0.0, desc_noise: float = 0.0):
     """Deterministic drifted loop-closure map (no detector in the loop):
     the camera walks a circle of ``period`` keyframes and returns; odometry
     drift accumulates; the final ``revisit_tail`` KFs re-observe the first
@@ -525,6 +526,11 @@ def make_loop_map(rng, n_kf=14, n_pts=400, drift_per_kf=0.012,
         z = Xc_gt[:, 2]
         u = 517.3 * Xc_gt[:, 0] / np.maximum(z, 1e-6) + 318.6
         v = 516.5 * Xc_gt[:, 1] / np.maximum(z, 1e-6) + 255.3
+        if px_noise > 0:
+            # measurement noise on the detections; everything downstream
+            # (kpts, ur, back-projected landmark) stays self-consistent
+            u = u + rng.normal(0, px_noise, u.shape)
+            v = v + rng.normal(0, px_noise, v.shape)
         vis = (z > 0.5) & (u >= 10) & (u < 630) & (v >= 10) & (v < 470)
         sel = np.nonzero(vis)[0][:K_slots]
         kpts = np.zeros((K_slots, 2), np.float32)
@@ -532,6 +538,15 @@ def make_loop_map(rng, n_kf=14, n_pts=400, drift_per_kf=0.012,
         valid = np.zeros(K_slots, bool)
         kpts[: len(sel)] = np.stack([u[sel], v[sel]], -1)
         dsc[: len(sel)] = desc[sel]
+        if desc_noise > 0:
+            # per-OBSERVATION descriptor noise: two views of the same point
+            # no longer carry bit-identical vectors (with desc_twins this is
+            # what actually starves ratio-test matching — a twin at exact
+            # distance 0.03 vs a true match at exact 0 never confuses it)
+            dsc[: len(sel)] += desc_noise * rng.standard_normal(
+                (len(sel), desc_dim)).astype(np.float32)
+            dsc[: len(sel)] /= np.linalg.norm(dsc[: len(sel)], axis=-1,
+                                              keepdims=True)
         valid[: len(sel)] = True
         ur_arr = np.full(K_slots, -1.0, np.float32)
         depth_arr = np.zeros(K_slots, np.float32)
@@ -559,9 +574,9 @@ def make_loop_map(rng, n_kf=14, n_pts=400, drift_per_kf=0.012,
             z_gt = float(Xc_gt[p, 2])
             Xw = (R.T @ (ray * z_gt - t)).astype(np.float32)
             if revisit:
-                mp = m.create_point(Xw, desc[p], i)
+                mp = m.create_point(Xw, dsc[slot], i)
             elif p not in mp_of_point:
-                mp = m.create_point(Xw, desc[p], i)
+                mp = m.create_point(Xw, dsc[slot], i)
                 mp_of_point[p] = mp
             else:
                 mp = mp_of_point[p]
