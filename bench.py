@@ -295,10 +295,66 @@ def bench_loop(n_kf: int = 40, period: int = 36, revisit_tail: int = 4):
     return rmse_a, rmse_b, len(lc.closed), platform
 
 
+def bench_loop_mono(n_kf: int = 40, period: int = 36, revisit_tail: int = 4):
+    """Monocular loop-closure workload (the sensor class of BASELINE
+    configs 2-3): the same drifted revisit chain with MONOCULAR
+    observations (bf=0) — scale is unobservable, so loop closing runs the
+    FREE-SCALE Sim3 ladder and essential graph exactly as the reference
+    does for MONOCULAR (mbFixScale=false, /root/reference/src/
+    LoopClosing.cc:72; Sim3 graph Optimizer.cc:1501).
+
+    A mono map has a real gauge freedom (scale + frame), so the reported
+    number is the Sim(3)-ALIGNED ATE RMSE of keyframe centers (Umeyama) —
+    unaligned ATE of a mono map measures the arbitrary gauge, not map
+    quality (PERF.md round-4 diagnosis). vs_baseline = improvement factor
+    over the drifted trajectory's aligned ATE."""
+    import jax
+
+    from xfeatslam_tpu.ops.camera import Pinhole
+    from xfeatslam_tpu.slam.loop_closing import LoopClosing
+    from xfeatslam_tpu.utils.synthetic import make_loop_map
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from evaluate_trajectory import umeyama
+
+    platform = jax.devices()[0].platform
+    cam = Pinhole.from_list([517.3, 516.5, 318.6, 255.3])
+    rng = np.random.default_rng(0)
+    m, gt, est = make_loop_map(rng, n_kf=n_kf, n_pts=1200,
+                               period=period, revisit_tail=revisit_tail,
+                               bf=0.0)
+    lc = LoopClosing(m, cam, bf=0.0, fix_scale=False, confirmations=3,
+                     run_gba=True, proj_matches=25, proj_matches_strict=30)
+    t0 = time.perf_counter()
+    for kid in sorted(m.keyframes):
+        lc.process_keyframe(kid)
+    wall = time.perf_counter() - t0
+
+    kids = sorted(m.keyframes)
+    gt_c = np.stack([-gt[k][0].T @ gt[k][1] for k in kids])
+
+    def aligned_rmse(centers):
+        s, R, t = umeyama(centers, gt_c, with_scale=True)
+        aligned = (s * (R @ centers.T)).T + t
+        return float(np.sqrt((np.linalg.norm(aligned - gt_c, axis=1) ** 2
+                              ).mean()))
+
+    est_c = np.stack([-est[k][0].T @ est[k][1] for k in kids])
+    cur_c = np.stack([-m.keyframes[k].R.T @ m.keyframes[k].t for k in kids])
+    rmse_b = aligned_rmse(est_c)
+    rmse_a = aligned_rmse(cur_c)
+    print(f"# loop-mono: {len(lc.closed)} closure(s) over {n_kf} KFs, "
+          f"Sim3-aligned ATE rmse {rmse_b*100:.2f} -> {rmse_a*100:.3f} cm, "
+          f"{wall:.1f}s wall", file=sys.stderr)
+    return rmse_a, rmse_b, len(lc.closed), platform
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="offline",
-                    choices=["offline", "online", "orb", "loop", "all"])
+                    choices=["offline", "online", "orb", "loop",
+                             "loop-mono", "all"])
     args = ap.parse_args()
 
     if args.mode in ("offline", "all"):
@@ -332,6 +388,17 @@ def main():
                      "closure(s) on a 40-KF drifted RGB-D revisit chain "
                      "(retrieval + Sim3 + fusion + essential graph + GBA; "
                      "BASELINE config 5 role)"),
+            "vs_baseline": round(rmse_b / max(rmse_a, 1e-9), 2),
+        }))
+    if args.mode in ("loop-mono", "all"):
+        rmse_a, rmse_b, n_closed, platform = bench_loop_mono()
+        print(json.dumps({
+            "metric": f"slam_loop_mono_ate_rmse_{platform}",
+            "value": round(rmse_a * 100, 3),
+            "unit": (f"cm ATE RMSE, Sim3-aligned, after {n_closed} loop "
+                     "closure(s) on a 40-KF drifted MONOCULAR revisit chain "
+                     "(free-scale Sim3 ladder + essential graph + GBA; "
+                     "BASELINE configs 2-3 sensor class)"),
             "vs_baseline": round(rmse_b / max(rmse_a, 1e-9), 2),
         }))
     if args.mode in ("orb", "all"):
