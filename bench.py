@@ -176,10 +176,11 @@ def _install_dispatch_counter():
 
     if _DISPATCH_COUNTER is not None:
         _DISPATCH_COUNTER["n"] = 0
+        _DISPATCH_COUNTER["by"].clear()
         return _DISPATCH_COUNTER
 
     jit_type = type(jax.jit(lambda: 0))
-    counter = {"n": 0}
+    counter = {"n": 0, "by": {}}
     _DISPATCH_COUNTER = counter
     mods = [extractor, orb, xfeat, camera, detect, geometry, imu, matching,
             inertial, local_ba, pnp, pose_opt, sim3, track_step, two_view]
@@ -187,12 +188,14 @@ def _install_dispatch_counter():
         for name in list(vars(mod)):
             obj = vars(mod)[name]
             if isinstance(obj, jit_type):
-                def make(f):
+                def make(f, site):
                     def wrapped(*a, **k):
                         counter["n"] += 1
+                        counter["by"][site] = counter["by"].get(site, 0) + 1
                         return f(*a, **k)
                     return wrapped
-                setattr(mod, name, make(obj))
+                setattr(mod, name,
+                        make(obj, f"{mod.__name__.split('.')[-1]}.{name}"))
     return counter
 
 
@@ -235,6 +238,7 @@ def bench_online(backend: str, n_frames: int = 40):
 
     run()  # compile pass
     counter["n"] = 0
+    counter["by"].clear()
     steady = run()[2:]
     fps = 1.0 / steady.mean()
     dpf = counter["n"] / n_frames
@@ -242,6 +246,9 @@ def bench_online(backend: str, n_frames: int = 40):
           f"mean={steady.mean()*1e3:.1f}ms p90={np.percentile(steady,90)*1e3:.1f}ms "
           f"jitted-dispatches/frame={dpf:.1f}",
           file=sys.stderr)
+    sites = sorted(counter["by"].items(), key=lambda kv: -kv[1])
+    print("# online dispatch sites/frame: " + ", ".join(
+        f"{k}={v / n_frames:.2f}" for k, v in sites[:10]), file=sys.stderr)
     return fps, platform, dpf
 
 

@@ -212,6 +212,40 @@ def search_by_projection(
 
 
 @functools.partial(jax.jit, static_argnames=("binary",))
+def fuse_project_batched(pos, desc, alive, R2, t2, kpt_uv, kpt_desc,
+                         valid_kpt, fx, fy, cx, cy,
+                         radius, max_dist, ratio: float = 0.9,
+                         binary: bool = False):
+    """Project ONE keyframe's landmark set into a STACK of neighbor
+    keyframes and window-match, all in one dispatch.
+
+    The SearchInNeighbors fuse loop (/root/reference/src/LocalMapping.cc:714
+    + ORBmatcher::Fuse :1333) runs once per covisible neighbor; as separate
+    device calls that is ~10 dispatches per keyframe — the dominant
+    jitted-dispatch source of the online path after the fused frame step
+    (bench.py --mode online call-site audit). Here the projection and the
+    window search vmap over the neighbor axis.
+
+    Args: pos/desc/alive — (M,...) landmark set; R2/t2/kpt_uv/kpt_desc/
+    valid_kpt — (Nn,...) stacked neighbor poses and keypoints (pad with
+    valid_kpt=False rows to bucket Nn). Returns MatchResult with (Nn,M)
+    leaves."""
+    def one(R, t, kuv, kd, kv):
+        Xc = pos @ R.T + t
+        z = Xc[:, 2]
+        vis = z > 0.05
+        zs = jnp.where(vis, z, 1.0)
+        u = fx * Xc[:, 0] / zs + cx
+        v = fy * Xc[:, 1] / zs + cy
+        uv = jnp.stack([u, v], -1)
+        return search_by_projection(
+            uv, desc, alive & vis, kuv, kd, kv,
+            radius=radius, max_dist=max_dist, ratio=ratio, binary=binary)
+
+    return jax.vmap(one)(R2, t2, kpt_uv, kpt_desc, valid_kpt)
+
+
+@functools.partial(jax.jit, static_argnames=("binary",))
 def search_window(
     kpt_uv1, desc1, valid1,
     kpt_uv2, desc2, valid2,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -795,6 +796,16 @@ class LocalMapping:
     # -- CreateNewMapPoints (/root/reference/src/LocalMapping.cc:388-713) ---
 
     def _create_new_points(self, kid: int):
+        """One dispatch for the whole neighbor set: epipolar matching,
+        triangulation, RGB-D depth fallback and acceptance gates run
+        batched over the covisible neighbors
+        (ops/geometry.triangulation_search_batched); the host keeps the
+        baseline gate and the create-point bookkeeping. (The reference —
+        and the previous per-neighbor loop — excluded a slot bound by an
+        earlier neighbor from later DEVICE matching; now all neighbors
+        match against the keyframe's initial free set and the host skips
+        already-bound slots in loop order, which preserves the greedy
+        first-neighbor-wins outcome.)"""
         kf1 = self.map.keyframes.get(kid)
         if kf1 is None:
             return
@@ -804,12 +815,12 @@ class LocalMapping:
         free1 = kf1.valid & (kf1.mp_ids < 0)
         if not free1.any():
             return
+        use = []
         for nkid in neighbors:
             kf2 = self.map.keyframes.get(nkid)
             if kf2 is None:
                 continue
-            C2 = kf2.center()
-            baseline = float(np.linalg.norm(C2 - C1))
+            baseline = float(np.linalg.norm(kf2.center() - C1))
             # RGB-D gate: baseline must exceed 1% of median scene depth
             # (reference uses mb vs median depth, LocalMapping.cc:439-455)
             med_depth = float(np.median(kf2.depth[kf2.depth > 0])) if (
@@ -820,115 +831,53 @@ class LocalMapping:
             free2 = kf2.valid & (kf2.mp_ids < 0)
             if not free2.any():
                 continue
-            # epipolar-gated descriptor matching (SearchForTriangulation role,
-            # /root/reference/src/ORBmatcher.cc:1092; we gate by epipolar
-            # distance matrix instead of BoW buckets)
-            F12 = np.asarray(
-                geometry.fundamental_from_poses(
-                    jnp.asarray(K), jnp.asarray(kf1.R), jnp.asarray(kf1.t),
-                    jnp.asarray(K), jnp.asarray(kf2.R), jnp.asarray(kf2.t),
-                )
-            )
-            uv1 = kf1.kpts_un
-            uv2 = kf2.kpts_un
-            x1 = np.concatenate([uv1, np.ones((len(uv1), 1), np.float32)], -1)
-            x2 = np.concatenate([uv2, np.ones((len(uv2), 1), np.float32)], -1)
-            lines = x1 @ F12  # (N1,3): epipolar line of kp1 in image 2
-            num = lines @ x2.T  # (N1,N2)
-            den = lines[:, 0:1] ** 2 + lines[:, 1:2] ** 2
-            epi_d2 = num * num / np.maximum(den, 1e-12)
-            pair_ok = epi_d2 < 3.84  # chi2(1) at 95%
-            res = matching.match_general(
-                jnp.asarray(kf1.desc), jnp.asarray(free1),
-                jnp.asarray(kf2.desc), jnp.asarray(free2),
-                max_dist=jnp.float32(self.tri_max_dist), ratio=0.8,
-                pair_mask=jnp.asarray(pair_ok), binary=self.profile.binary,
-            )
-            idx = np.asarray(res.idx)
-            mask = np.asarray(res.mask)
+            use.append((nkid, kf2, free2))
+        if not use:
+            self.map.update_connections(kid)
+            return
+        Nn = max(2, 1 << (len(use) - 1).bit_length())  # bucketed signature
+
+        def stack(get, fill=0.0):
+            rows = [get(kf2, f2) for (_, kf2, f2) in use]
+            out = np.full((Nn,) + rows[0].shape, fill, rows[0].dtype)
+            out[: len(rows)] = rows
+            return jnp.asarray(out)
+
+        nb_valid = np.zeros(Nn, bool)
+        nb_valid[: len(use)] = True
+        idx, ok, X = geometry.triangulation_search_batched(
+            jnp.asarray(K), jnp.asarray(kf1.R), jnp.asarray(kf1.t),
+            jnp.asarray(kf1.kpts_un), jnp.asarray(kf1.desc),
+            jnp.asarray(free1), jnp.asarray(kf1.depth),
+            stack(lambda kf2, f2: kf2.R), stack(lambda kf2, f2: kf2.t),
+            stack(lambda kf2, f2: kf2.kpts_un),
+            stack(lambda kf2, f2: kf2.desc),
+            stack(lambda kf2, f2: f2, fill=False),
+            stack(lambda kf2, f2: kf2.depth),
+            jnp.asarray(nb_valid),
+            jnp.float32(self.cam.fx), jnp.float32(self.cam.fy),
+            jnp.float32(self.cam.cx), jnp.float32(self.cam.cy),
+            jnp.float32(self.bf), jnp.float32(self.tri_max_dist),
+            ratio=0.8, binary=self.profile.binary,
+        )
+        idx, ok, X = jax.device_get((idx, ok, X))
+        for j, (nkid, kf2, _f2) in enumerate(use):
             mask = matching.rotation_consistency_filter(
-                kf1.angle, kf2.angle, np.clip(idx, 0, None), mask
+                kf1.angle, kf2.angle, np.clip(idx[j], 0, None), ok[j]
             )
-            slots1 = np.nonzero(mask)[0]
-            if len(slots1) == 0:
-                continue
-            slots2 = idx[slots1]
-            P1 = np.asarray(
-                geometry.projection_matrix(
-                    jnp.asarray(K), jnp.asarray(kf1.R), jnp.asarray(kf1.t)
-                )
-            )
-            P2 = np.asarray(
-                geometry.projection_matrix(
-                    jnp.asarray(K), jnp.asarray(kf2.R), jnp.asarray(kf2.t)
-                )
-            )
-            X = np.asarray(
-                geometry.triangulate_dlt(
-                    jnp.asarray(uv1[slots1]), jnp.asarray(uv2[slots2]),
-                    jnp.asarray(P1), jnp.asarray(P2),
-                )
-            )
-            cosp = np.asarray(
-                geometry.parallax_cos(jnp.asarray(X), jnp.asarray(C1), jnp.asarray(C2))
-            )
-            # RGB-D rule (LocalMapping.cc:550-620): triangulate only when
-            # the ray parallax beats the parallax a depth measurement would
-            # give (cosParallaxStereo); otherwise unproject from depth, or
-            # skip entirely at near-zero parallax.
-            d1 = kf1.depth[slots1]
-            d2 = kf2.depth[slots2]
-            cos_stereo1 = np.where(
-                d1 > 0, np.cos(2.0 * np.arctan2(self.bf / float(self.cam.fx) / 2.0,
-                                                np.maximum(d1, 1e-3))), 2.0)
-            cos_stereo2 = np.where(
-                d2 > 0, np.cos(2.0 * np.arctan2(self.bf / float(self.cam.fx) / 2.0,
-                                                np.maximum(d2, 1e-3))), 2.0)
-            cos_stereo = np.minimum(cos_stereo1, cos_stereo2)
-            good_tri = (cosp > 0) & (cosp < 0.9998) & (cosp < cos_stereo)
-            # depth fallback for low-parallax candidates
-            use_d1 = ~good_tri & (d1 > 0) & (cos_stereo1 <= cos_stereo2)
-            use_d2 = ~good_tri & ~use_d1 & (d2 > 0)
-            if use_d1.any():
-                ray1 = np.concatenate(
-                    [(uv1[slots1] - [float(self.cam.cx), float(self.cam.cy)])
-                     / [float(self.cam.fx), float(self.cam.fy)],
-                     np.ones((len(slots1), 1), np.float32)], -1)
-                Xd1 = (ray1 * d1[:, None] - kf1.t) @ kf1.R
-                X = np.where(use_d1[:, None], Xd1, X)
-            if use_d2.any():
-                ray2 = np.concatenate(
-                    [(uv2[slots2] - [float(self.cam.cx), float(self.cam.cy)])
-                     / [float(self.cam.fx), float(self.cam.fy)],
-                     np.ones((len(slots2), 1), np.float32)], -1)
-                Xd2 = (ray2 * d2[:, None] - kf2.t) @ kf2.R
-                X = np.where(use_d2[:, None], Xd2, X)
-            # acceptance gates: chirality + reprojection below
-            Xc1 = X @ kf1.R.T + kf1.t
-            Xc2 = X @ kf2.R.T + kf2.t
-            ok = (Xc1[:, 2] > 0.05) & (Xc2[:, 2] > 0.05)
-            ok &= good_tri | use_d1 | use_d2
-            for which, (Xc, uv, ss) in enumerate(
-                [(Xc1, uv1, slots1), (Xc2, uv2, slots2)]
-            ):
-                z = np.maximum(Xc[:, 2], 1e-6)
-                u = float(self.cam.fx) * Xc[:, 0] / z + float(self.cam.cx)
-                v = float(self.cam.fy) * Xc[:, 1] / z + float(self.cam.cy)
-                err2 = (u - uv[ss][:, 0]) ** 2 + (v - uv[ss][:, 1]) ** 2
-                ok &= err2 < 5.991
-            for i in np.nonzero(ok)[0]:
-                s1, s2 = int(slots1[i]), int(slots2[i])
+            for s1 in np.nonzero(mask)[0]:
+                s1 = int(s1)
+                s2 = int(idx[j][s1])
                 if kf1.mp_ids[s1] >= 0 or kf2.mp_ids[s2] >= 0:
                     continue
                 mp = self.map.create_point(
-                    X[i].astype(np.float32), kf1.desc[s1], kid,
+                    X[j][s1].astype(np.float32), kf1.desc[s1], kid,
                     float(kf1.angle[s1]),
                 )
                 self.map.add_observation(mp, kid, s1, update_links=False)
                 self.map.add_observation(mp, nkid, s2, update_links=False)
                 self.map.update_point(mp)
                 self.recent_points[mp] = kid
-            free1 = kf1.valid & (kf1.mp_ids < 0)
         self.map.update_connections(kid)
 
     # -- SearchInNeighbors / Fuse (/root/reference/src/LocalMapping.cc:714) -
@@ -938,33 +887,42 @@ class LocalMapping:
         if kf1 is None:
             return
         neighbors = self.map.covisible_kfs(kid, 10)
-        # project this KF's points into neighbors and merge duplicates
+        # project this KF's points into ALL neighbors in one dispatch
+        # (matching.fuse_project_batched) and merge duplicates; aliveness is
+        # re-checked on the host per match since earlier fusions this call
+        # can retire points
         own = kf1.mp_ids[kf1.mp_ids >= 0]
         if len(own) == 0:
+            return
+        kf2s = [(nkid, self.map.keyframes[nkid]) for nkid in neighbors
+                if nkid in self.map.keyframes]
+        if not kf2s:
             return
         pos = self.map.points.pos[own]
         desc = self.map.points.desc[own]
         alive = self.map.points.alive[own]
-        for nkid in neighbors:
-            kf2 = self.map.keyframes.get(nkid)
-            if kf2 is None:
-                continue
-            Xc = pos @ kf2.R.T + kf2.t
-            z = Xc[:, 2]
-            vis = z > 0.05
-            zs = np.where(vis, z, 1.0)
-            u = float(self.cam.fx) * Xc[:, 0] / zs + float(self.cam.cx)
-            v = float(self.cam.fy) * Xc[:, 1] / zs + float(self.cam.cy)
-            uv = np.stack([u, v], -1).astype(np.float32)
-            res = matching.search_by_projection(
-                jnp.asarray(uv), jnp.asarray(desc), jnp.asarray(alive & vis),
-                jnp.asarray(kf2.kpts_un), jnp.asarray(kf2.desc),
-                jnp.asarray(kf2.valid),
-                radius=3.0, max_dist=jnp.float32(self.fuse_max_dist),
-                ratio=0.9, binary=self.profile.binary,
-            )
-            idx = np.asarray(res.idx)
-            mask = np.asarray(res.mask)
+        Nn = max(2, 1 << (len(kf2s) - 1).bit_length())
+
+        def stack(get, fill=0.0):
+            rows = [get(kf2) for (_, kf2) in kf2s]
+            out = np.full((Nn,) + rows[0].shape, fill, rows[0].dtype)
+            out[: len(rows)] = rows
+            return jnp.asarray(out)
+
+        res = matching.fuse_project_batched(
+            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(alive),
+            stack(lambda kf2: kf2.R), stack(lambda kf2: kf2.t),
+            stack(lambda kf2: kf2.kpts_un), stack(lambda kf2: kf2.desc),
+            stack(lambda kf2: kf2.valid, fill=False),
+            jnp.float32(self.cam.fx), jnp.float32(self.cam.fy),
+            jnp.float32(self.cam.cx), jnp.float32(self.cam.cy),
+            radius=jnp.float32(3.0),
+            max_dist=jnp.float32(self.fuse_max_dist),
+            ratio=0.9, binary=self.profile.binary,
+        )
+        idx_all, mask_all = jax.device_get((res.idx, res.mask))
+        for j, (nkid, kf2) in enumerate(kf2s):
+            idx, mask = idx_all[j], mask_all[j]
             for m in np.nonzero(mask)[0]:
                 mp1 = int(own[m])
                 slot2 = int(idx[m])
