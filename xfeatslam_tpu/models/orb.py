@@ -60,7 +60,28 @@ def make_brief_pattern(seed: int = 7, n_bits: int = 256, sigma: float = 6.5,
     return np.round(pts).astype(np.int8)
 
 
-_PATTERN = make_brief_pattern()
+def _load_pattern() -> np.ndarray:
+    """Sampling-pattern resolution: $XFEATSLAM_BRIEF_PATTERN (a .npy path,
+    or the literal "gaussian" for the legacy generated pattern), else the
+    committed learned pattern (greedy-decorrelation over rendered oriented
+    patches, tools/learn_brief_pattern.py — the selection recipe behind the
+    reference's bit_pattern_31_, /root/reference/src/ORBextractor.cc:149),
+    else the generated Gaussian fallback."""
+    import os
+
+    env = os.environ.get("XFEATSLAM_BRIEF_PATTERN")
+    if env == "gaussian":
+        return make_brief_pattern()
+    if env and os.path.exists(env):
+        return np.load(env).astype(np.int8)
+    default = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "brief_pattern.npy")
+    if os.path.exists(default):
+        return np.load(default).astype(np.int8)
+    return make_brief_pattern()
+
+
+_PATTERN = _load_pattern()
 
 
 def _shift2d(img, dx: int, dy: int):

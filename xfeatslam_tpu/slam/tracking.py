@@ -788,12 +788,15 @@ class Tracking:
             jnp.asarray(frame.kpts_un), jnp.asarray(frame.desc),
             jnp.asarray(frame.valid),
             radius=r,
-            # binary (ORB) descriptors: the generated BRIEF pattern's wrong-
-            # match tail passes TH_HIGH=100; TH_LOW(50) keeps true matches
-            # (hamming ~10-25) and cuts structured aliases that otherwise
-            # create secondary pose-cost minima
-            max_dist=jnp.float32(self.cfg.th_low if self.cfg.binary
-                                 else self.cfg.th_high), ratio=0.9,
+            # TH_HIGH for both backends (reference projection search,
+            # ORBmatcher.cc:196,1954). The earlier TH_LOW-only ORB gating
+            # guarded against the generated pattern's wrong-match tail
+            # creating secondary pose-cost minima; with the octave scale
+            # gates + rotation-consistency filter now in this path the
+            # regression no longer reproduces (A/B on the 40-frame
+            # sequence: TH_HIGH max 0.21 cm vs TH_LOW 0.16 cm, all OK —
+            # tools/learn_brief_pattern.py measurements, round 5)
+            max_dist=jnp.float32(self.cfg.th_high), ratio=0.9,
             kpt_free=jnp.asarray(kpt_free), binary=self.cfg.binary,
             **oct_kw,
         )
@@ -861,8 +864,7 @@ class Tracking:
             jnp.asarray(prev_Xw), jnp.asarray(prev_valid),
             self.cam, jnp.float32(self.pipeline.bf),
             jnp.float32(radius),
-            jnp.float32(self.cfg.th_low if self.cfg.binary
-                        else self.cfg.th_high),
+            jnp.float32(self.cfg.th_high),  # see _match_against TH_HIGH note
             jnp.float32(0.9), jnp.int32(widen_below),
             jnp.float32(self.cfg.scale_factor),
             jnp.float32(2.0 * float(self.cam.cx)),
