@@ -61,8 +61,68 @@ def dense_correspondence(depth_a, depth_b, R_ab, t_ab, K):
     return corr, ok
 
 
+def _rand_homography(rng, hw, max_rot=0.45, scale_rng=(0.75, 1.3),
+                     max_persp=4e-4, max_shift=10.0):
+    """Random center-anchored homography: rotation + anisotropic scale +
+    perspective + translation. Returns (3,3) float64 H mapping A->B."""
+    H_, W_ = hw
+    th = rng.uniform(-max_rot, max_rot)
+    sx = rng.uniform(*scale_rng)
+    sy = rng.uniform(*scale_rng)
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    S = np.diag([sx, sy, 1.0])
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-max_persp, max_persp)
+    P[2, 1] = rng.uniform(-max_persp, max_persp)
+    T1 = np.eye(3); T1[0, 2] = -W_ / 2; T1[1, 2] = -H_ / 2
+    T2 = np.eye(3)
+    T2[0, 2] = W_ / 2 + rng.uniform(-max_shift, max_shift)
+    T2[1, 2] = H_ / 2 + rng.uniform(-max_shift, max_shift)
+    return T2 @ P @ S @ R @ T1
+
+
+def _bilinear(img, x, y):
+    H_, W_ = img.shape
+    x0 = np.clip(np.floor(x).astype(int), 0, W_ - 2)
+    y0 = np.clip(np.floor(y).astype(int), 0, H_ - 2)
+    wx = np.clip(x - x0, 0, 1)
+    wy = np.clip(y - y0, 0, 1)
+    return (img[y0, x0] * (1 - wx) * (1 - wy)
+            + img[y0, x0 + 1] * wx * (1 - wy)
+            + img[y0 + 1, x0] * (1 - wx) * wy
+            + img[y0 + 1, x0 + 1] * wx * wy)
+
+
+def homography_pair(rng, img_a):
+    """Warp a rendered view by a random homography: exact dense
+    correspondence, no occlusion — exercises in-plane rotation and scale
+    more aggressively than the orbit renderer's viewpoint changes (the role
+    warped-COCO pairs play in upstream XFeat training)."""
+    H_, W_ = img_a.shape
+    Hm = _rand_homography(rng, (H_, W_))
+    Hi = np.linalg.inv(Hm)
+    u, v = np.meshgrid(np.arange(W_, dtype=np.float64),
+                       np.arange(H_, dtype=np.float64))
+    # img_b(x) = img_a(H^-1 x)
+    den = Hi[2, 0] * u + Hi[2, 1] * v + Hi[2, 2]
+    xs = (Hi[0, 0] * u + Hi[0, 1] * v + Hi[0, 2]) / den
+    ys = (Hi[1, 0] * u + Hi[1, 1] * v + Hi[1, 2]) / den
+    img_b = _bilinear(img_a.astype(np.float32), xs, ys)
+    src_ok = (xs >= 0) & (xs < W_ - 1) & (ys >= 0) & (ys < H_ - 1)
+    img_b = np.where(src_ok, img_b, 0.0)
+    # corr: A -> B forward map
+    den_f = Hm[2, 0] * u + Hm[2, 1] * v + Hm[2, 2]
+    ub = (Hm[0, 0] * u + Hm[0, 1] * v + Hm[0, 2]) / den_f
+    vb = (Hm[1, 0] * u + Hm[1, 1] * v + Hm[1, 2]) / den_f
+    ok = (ub >= 1) & (ub < W_ - 1) & (vb >= 1) & (vb < H_ - 1)
+    corr = np.stack([ub, vb], -1).astype(np.float32)
+    corr[~ok] = 0.0
+    return img_b.astype(np.float32), corr, ok
+
+
 def render_pair_pool(rng, n_scenes=6, hw=(128, 160), pairs_per_scene=28,
-                     f=130.0):
+                     f=130.0, homog_per_scene=0):
     """Pre-render a pool of view pairs with ground-truth correspondence."""
     from xfeatslam_tpu.utils import synthetic
 
@@ -73,6 +133,17 @@ def render_pair_pool(rng, n_scenes=6, hw=(128, 160), pairs_per_scene=28,
         scene = synthetic.RoomScene(seed=100 + s)
         base = synthetic.orbit_trajectory(pairs_per_scene, radius=0.3,
                                           forward_per_frame=0.01)
+        for j in range(homog_per_scene):
+            Rh, th = base[int(rng.integers(0, len(base)))]
+            a_img, _ = scene.render(K, Rh, th, hw)
+            a = a_img.astype(np.float32) / 255.0
+            b, c, ok = homography_pair(rng, a)
+            if ok.mean() < 0.3:
+                continue
+            img_a.append(a)
+            img_b.append(b)
+            corr.append(c)
+            valid.append(ok)
         for (Ra, ta) in base:
             # view B: translated + rotated (yaw/pitch/ROLL) + scale change
             dt_c = np.array([rng.uniform(-0.25, 0.25),
@@ -120,6 +191,23 @@ def main():
     ap.add_argument("--save-every", type=int, default=500)
     ap.add_argument("--init", default=None,
                     help="warm-start weights npz (e.g. the shipped ones)")
+    ap.add_argument("--homog-per-scene", type=int, default=0,
+                    help="additional homography-warped pairs per scene")
+    ap.add_argument("--kp-teacher", default="contrast",
+                    choices=["contrast", "peak"])
+    ap.add_argument("--response", default="contrast5",
+                    choices=["contrast5", "shitomasi"],
+                    help="analytic response the peak teacher distills")
+    ap.add_argument("--sigma", type=float, default=0.7,
+                    help="peak-teacher Gaussian std (px)")
+    ap.add_argument("--aug", action="store_true",
+                    help="photometric augmentation of network inputs")
+    ap.add_argument("--steps-per-call", type=int, default=16,
+                    help="optimizer steps fused per dispatch (lax.scan over "
+                    "a device-resident pool; amortizes tunnel RTT + batch "
+                    "transfer)")
+    ap.add_argument("--cosine", action="store_true",
+                    help="5%% warmup + cosine decay to lr/20 over --steps")
     args = ap.parse_args()
     if args.hw[0] % 32 or args.hw[1] % 32:
         ap.error(f"--hw {args.hw[0]} {args.hw[1]}: the XFeat forward needs "
@@ -140,33 +228,49 @@ def main():
     pool = render_pair_pool(rng, n_scenes=args.scenes,
                             pairs_per_scene=args.pairs_per_scene,
                             hw=tuple(args.hw),
+                            homog_per_scene=args.homog_per_scene,
                             # keep the FOV of the default 128x160 crops
                             f=130.0 * args.hw[1] / 160.0)
     n_pool = len(pool["img_a"])
     print(f"pool: {n_pool} pairs of {pool['img_a'].shape[1:3]}", flush=True)
 
     mesh = mesh_lib.make_mesh()
-    optimizer = optax.adam(args.lr)
-    init_fn, step_fn = train.make_train_step(mesh, optimizer)
+    if args.cosine:
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, int(args.steps * 0.05), args.steps, args.lr / 20)
+        optimizer = optax.adam(sched)
+    else:
+        optimizer = optax.adam(args.lr)
+    loss_kw = dict(kp_teacher=args.kp_teacher, response=args.response,
+                   sigma=args.sigma)
+    S = max(args.steps_per_call, 1)
+    init_fn, run_fn = train.make_pool_trainer(
+        mesh, optimizer, steps_per_call=S, augment=args.aug, **loss_kw)
     if args.init:
         params = wio.load_npz(args.init)
     else:
         params = xfeat.init_params(jax.random.PRNGKey(0))
     params, opt_state = init_fn(params)
+    pool_dev = jax.device_put(pool)
+    key = jax.random.PRNGKey(1)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     t0 = time.time()
-    for step in range(args.steps):
-        idx = rng.integers(0, n_pool, args.batch)
-        batch = {k: jnp.asarray(v[idx]) for k, v in pool.items()}
-        params, opt_state, loss, aux = step_fn(params, opt_state, batch)
-        if step % 50 == 0:
+    n_calls = -(-args.steps // S)
+    for call in range(n_calls):
+        step = call * S
+        idx = jnp.asarray(rng.integers(0, n_pool, (S, args.batch)),
+                          jnp.int32)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, aux = run_fn(params, opt_state, pool_dev,
+                                              idx, sub)
+        if call % max(1, 50 // S) == 0:
             jax.block_until_ready(loss)
             print(f"step {step}: loss={float(loss):.4f} "
                   f"nce={float(aux['nce']):.3f} kp={float(aux['kp']):.3f} "
                   f"rel={float(aux['rel']):.3f} "
-                  f"({(time.time()-t0)/max(step,1):.2f}s/step)", flush=True)
-        if step and step % args.save_every == 0:
+                  f"({(time.time()-t0)/max(step+S,1):.3f}s/step)", flush=True)
+        if step and args.save_every and step % args.save_every < S:
             wio.save_npz(args.out, jax.device_get(params))
             print(f"saved {args.out} at step {step}", flush=True)
     wio.save_npz(args.out, jax.device_get(params))

@@ -416,8 +416,19 @@ def make_pool_trainer(mesh: Mesh, optimizer=None, steps_per_call: int = 16,
     """
     optimizer = optimizer or optax.adam(1e-3)
     data = NamedSharding(mesh, P("data"))
+    # Single-device mesh (e.g. the one real TPU chip): skip the sharding
+    # machinery entirely. Named shardings on a 1x1 mesh buy nothing but
+    # (a) drag the GSPMD partitioner into an already-huge fwd+bwd scan
+    # graph (the remote compile helper of this environment OOMs on it) and
+    # (b) make call-2 inputs (plain outputs of call 1) hash differently
+    # from call-1 inputs -> silent RETRACE of the whole graph. With no
+    # shardings anywhere, every array is SingleDeviceSharding and both
+    # problems vanish.
+    single = mesh.size == 1
 
     def init_fn(params):
+        if single:
+            return jax.device_put(params), optimizer.init(params)
         p_shard = param_shardings(mesh, params, strict=True)
         params = jax.device_put(params, p_shard)
         opt_state = optimizer.init(params)
@@ -429,6 +440,8 @@ def make_pool_trainer(mesh: Mesh, optimizer=None, steps_per_call: int = 16,
         (outputs fed back as inputs) silently RETRACES+RECOMPILES the whole
         multi-step graph — through the remote-compile tunnel that is
         minutes per call and can OOM the compile helper."""
+        if single:
+            return tree
         sh = param_shardings(mesh, tree)
         return jax.tree_util.tree_map(
             lambda a, s: jax.lax.with_sharding_constraint(a, s), tree, sh)
@@ -441,8 +454,10 @@ def make_pool_trainer(mesh: Mesh, optimizer=None, steps_per_call: int = 16,
             p, o = carry
             i, k = xs
             batch = jax.tree_util.tree_map(lambda a: a[i], pool)
-            batch = jax.tree_util.tree_map(
-                lambda a: jax.lax.with_sharding_constraint(a, data), batch)
+            if not single:
+                batch = jax.tree_util.tree_map(
+                    lambda a: jax.lax.with_sharding_constraint(a, data),
+                    batch)
             (loss, aux), grads = jax.value_and_grad(
                 functools.partial(
                     loss_fn, aug_key=(k if augment else None), **loss_kw),
