@@ -120,3 +120,85 @@ class TestViewerServer:
             assert sys_.tracking.last_frame is None
         finally:
             sys_.shutdown()
+
+
+class TestMap3D:
+    """Interactive 3D map view (utils/map3d.py) — the MapDrawer/Pangolin
+    window role (/root/reference/src/MapDrawer.cc:29-185) as a WebGL page:
+    payload encode/decode roundtrip, standalone export, live endpoints."""
+
+    def _map(self):
+        import numpy as np
+
+        from xfeatslam_tpu.utils.synthetic import make_loop_map
+
+        slam_map, gt, _ = make_loop_map(np.random.default_rng(0), n_kf=6,
+                                        n_pts=120)
+        traj = [(float(i), R, t, None) for i, (R, t) in enumerate(gt)]
+        return slam_map, traj
+
+    def test_payload_roundtrip(self):
+        import numpy as np
+
+        from xfeatslam_tpu.utils import map3d
+
+        slam_map, traj = self._map()
+        p = map3d.map_payload(slam_map, trajectory=traj, seq=7)
+        d = map3d.decode_payload(p)
+        assert p["seq"] == 7
+        assert d["pts"].shape == (p["n_pts"], 3) and p["n_pts"] > 0
+        assert d["kf_c"].shape == (6, 3) and d["kf_R"].shape == (6, 9)
+        # centers match the keyframes'
+        kids = sorted(slam_map.keyframes)
+        want = np.stack([slam_map.keyframes[k].center() for k in kids])
+        np.testing.assert_allclose(d["kf_c"], want, atol=1e-6)
+        # rotations are the keyframes' R (row-major), orthonormal
+        R0 = d["kf_R"][0].reshape(3, 3)
+        np.testing.assert_allclose(R0, slam_map.keyframes[kids[0]].R,
+                                   atol=1e-6)
+        # covis indices are in range and i<j
+        cv = d["covis"]
+        assert p["n_covis"] == len(cv)
+        if len(cv):
+            assert cv.max() < 6 and (cv[:, 0] < cv[:, 1]).all()
+        assert d["traj"].shape == (len(traj), 3)
+
+    def test_export_html_standalone(self, tmp_path):
+        from xfeatslam_tpu.utils import map3d
+
+        slam_map, traj = self._map()
+        p = map3d.map_payload(slam_map, trajectory=traj, seq=1)
+        out = map3d.export_html(p, str(tmp_path / "map.html"))
+        html = open(out).read()
+        assert "__EMBEDDED__" not in html  # data really embedded
+        assert p["pts"][:40] in html  # the point buffer is inline
+        assert "webgl" in html and "requestAnimationFrame" in html
+
+    def test_served_live(self, tmp_path):
+        import json
+
+        from xfeatslam_tpu.utils import map3d
+        from xfeatslam_tpu.utils.viewer import ViewerControls, ViewerServer
+
+        slam_map, traj = self._map()
+        srv = ViewerServer(str(tmp_path), ViewerControls(), port=0)
+        try:
+            st, body = TestViewerServer._get(self, srv.port, "/map3d")
+            assert st == 200 and b"webgl" in body
+            assert b"__EMBEDDED__" not in body  # placeholder substituted
+            # no snapshot yet -> 404 with empty JSON body
+            try:
+                st, body = TestViewerServer._get(self, srv.port,
+                                                 "/map3d.json")
+            except urllib.error.HTTPError as e:
+                st = e.code
+            assert st == 404
+            p = map3d.map_payload(slam_map, trajectory=traj, seq=3)
+            (tmp_path / "map3d.json").write_text(json.dumps(p))
+            st, body = TestViewerServer._get(self, srv.port, "/map3d.json")
+            assert st == 200 and json.loads(body)["seq"] == 3
+            # panel links to the 3D view
+            st, body = TestViewerServer._get(self, srv.port, "/")
+            assert b"/map3d" in body
+        finally:
+            srv.close()

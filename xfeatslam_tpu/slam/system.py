@@ -460,6 +460,21 @@ class System:
             path, [(R, tr) for (_t, R, tr, _s) in traj]
         )
 
+    def export_map_html(self, path: str, max_points: int = 60000) -> str:
+        """Standalone interactive 3D map file (WebGL orbit/pan/zoom over
+        points, keyframe frusta, covisibility graph, trajectory) — the
+        offline artifact of the Pangolin map window role
+        (/root/reference/src/MapDrawer.cc:29-185); the same scene is
+        served live at the ViewerServer's /map3d endpoint."""
+        from ..utils import map3d
+
+        payload = map3d.map_payload(
+            self.map, trajectory=self.tracking.trajectory,
+            max_points=max_points,
+            title=f"{self.map.num_keyframes()} KFs, "
+                  f"{self.map.num_points()} points")
+        return map3d.export_html(payload, path)
+
     def save_trajectory_tum(self, path: str):
         traj = self.tracking.resolved_trajectory()
         io_utils.save_trajectory_tum(

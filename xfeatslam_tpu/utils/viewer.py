@@ -140,6 +140,18 @@ class LiveViewer:
                    title=f"map @ frame {self._n - 1}",
                    center=follow_center, view=view)
         self._swap_in(mp + ".tmp.png", mp)
+        # interactive 3D scene snapshot (served by ViewerServer /map3d)
+        import json as _json
+
+        from . import map3d
+
+        payload = map3d.map_payload(slam_map, trajectory=trajectory,
+                                    seq=self._n,
+                                    title=f"map @ frame {self._n - 1}")
+        j = os.path.join(self.out, "map3d.json")
+        with open(j + ".tmp", "w") as f:
+            _json.dump(payload, f)
+        self._swap_in(j + ".tmp", j)
         if len(self._hist) < self.max_history:
             try:
                 from PIL import Image
@@ -278,6 +290,7 @@ button {{ margin: 2px; padding: 6px 10px; }}
 <button onclick="cmd('toggle_localization')">localization mode</button>
 <button onclick="cmd('reset')">reset map</button>
 <button onclick="cmd('stop')">stop</button>
+<a href="/map3d" target="_blank" style="color:#8cf">3D map</a>
 <span id="state"></span>
 </div>
 <img id="frame" src="/live_frame.png"/>
@@ -333,6 +346,18 @@ class ViewerServer:
                 u = urllib.parse.urlparse(self.path)
                 if u.path == "/":
                     self._send(200, _PANEL_HTML.encode(), "text/html")
+                elif u.path == "/map3d":
+                    from .map3d import MAP3D_HTML
+
+                    page = MAP3D_HTML.replace("__EMBEDDED__", "null")
+                    self._send(200, page.encode(), "text/html")
+                elif u.path == "/map3d.json":
+                    p = os.path.join(outer.out_dir, "map3d.json")
+                    try:
+                        with open(p, "rb") as f:
+                            self._send(200, f.read(), "application/json")
+                    except OSError:
+                        self._send(404, b"{}", "application/json")
                 elif u.path in ("/live_frame.png", "/live_map.png"):
                     p = os.path.join(outer.out_dir, u.path[1:])
                     try:
