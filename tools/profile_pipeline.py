@@ -171,6 +171,30 @@ def main():
         f, l, h, K, subpixel=True))
     t_det, out = timeit(detf, feats, logits, heat)
 
+    # Pallas-path sub-stages (the path select_keypoints actually takes on
+    # TPU): fused candidate kernel, exact top-K + packed-aux gather,
+    # gather-matmul descriptor sampling
+    pallas_rows = []
+    if detect_ops._use_pallas():
+        from xfeatslam_tpu.ops import pallas_kernels as pk
+
+        H8, W8 = H // 8, W // 8
+        candf = jax.jit(lambda l, h: pk.detect_candidates(l, h))
+        t_cand, (vals, aux) = timeit(candf, logits, heat)
+        ctopf = jax.jit(lambda v, a: detect_ops._candidates_topk(
+            v, a, K, W8))
+        t_ctop, (sc, idxp, off) = timeit(ctopf, vals, aux)
+        kpts_p = jnp.stack([(idxp % W).astype(jnp.float32),
+                            (idxp // W).astype(jnp.float32)], -1)
+        dsf = jax.jit(lambda f, kp, v: detect_ops._desc_sample_pallas(
+            f, kp, v, H8, W8))
+        t_ds, _ = timeit(dsf, feats, kpts_p, sc > 0)
+        pallas_rows = [
+            ("  [pallas] candidates", t_cand, ""),
+            ("  [pallas] topk+aux", t_ctop, ""),
+            ("  [pallas] desc sample", t_ds, ""),
+        ]
+
     matchf = jax.jit(lambda d, v: batched.match_consecutive(d, v))
     t_match, _ = timeit(matchf, out["desc"], out["valid"])
 
@@ -187,6 +211,7 @@ def main():
         ("  rank+top-K", t_topk, ""),
         ("  desc sampling", t_samp, ""),
         ("detect (fused select)", t_det, ""),
+        *pallas_rows,
         ("match consecutive", t_match, ""),
         ("end-to-end pipeline", t_pipe,
          f"{B / t_pipe:.0f} fps"),

@@ -300,11 +300,10 @@ def select_keypoints(feats, logits, heatmap, num_keypoints: int,
     # random gathers per image lower poorly on TPU.)
     if _use_pallas():
         from . import pallas_kernels as pk
-        vals, ch, offx, offy = pk.detect_candidates(
+        vals, aux = pk.detect_candidates(
             logits, heatmap, threshold, softmax_temp,
             interpret=jax.default_backend() != "tpu")
-        scores, idx, off = _candidates_topk(vals, ch, offx, offy,
-                                            num_keypoints, W8)
+        scores, idx, off = _candidates_topk(vals, aux, num_keypoints, W8)
         kpts = jnp.stack([(idx % W).astype(jnp.float32),
                           (idx // W).astype(jnp.float32)], axis=-1)
         valid = scores > 0.0
@@ -349,7 +348,11 @@ def select_keypoints(feats, logits, heatmap, num_keypoints: int,
                 dysum = dysum + w * dy
         off = jnp.stack([dxsum, dysum], -1) / jnp.maximum(
             wsum, 1e-9)[..., None]
-        kpts = kpts + jnp.clip(off, -1.0, 1.0)
+        # quantize exactly like the Pallas kernel's packed aux (q/255 - 1,
+        # 0.004 px steps) so the two paths stay bit-identical
+        off = jnp.round((jnp.clip(off, -1.0, 1.0) + 1.0) * 255.0)
+        off = off / 255.0 - 1.0  # decode exactly as _candidates_topk does
+        kpts = kpts + off
 
     desc = image_ops.sample_bilinear(featsn, kpts, (H, W))
     desc = desc * lax.rsqrt(
@@ -374,26 +377,28 @@ def _use_pallas() -> bool:
         return False
 
 
-def _candidates_topk(vals, ch, offx, offy, k: int, W8: int):
+def _candidates_topk(vals, aux, k: int, W8: int):
     """Exact top-k over the per-cell candidates emitted by the fused
     Pallas kernel. Candidate (b,cy,r,cx) is pixel (cy*8+ch//8, cx*8+ch%8);
     every NMS survivor is among the candidates (see pallas_kernels
     NC_CAND), so this equals the flat top-k up to equal-score ties.
+    ``aux`` is the kernel's packed ch<<18 | qx<<9 | qy integer — ONE
+    gathered row per keypoint recovers channel and sub-pixel offsets
+    (off = q/255 - 1), vs the 3-wide row gather it replaces.
     Returns (scores (B,k), flat full-res indices (B,k), offsets (B,k,2))."""
     B, H8, NC, _ = vals.shape
     W = W8 * 8
     scores, sel = lax.top_k(vals.reshape(B, -1), k)
-    # one 3-wide row gather instead of three scalar gathers (random
-    # gathers dominate this stage after the top-k itself, PERF.md)
-    aux = jnp.stack([ch.astype(jnp.float32), offx, offy],
-                    axis=-1).reshape(B, -1, 3)
-    g = jnp.take_along_axis(aux, sel[:, :, None], axis=1)
-    chs = g[..., 0].astype(jnp.int32)
+    g = jnp.take_along_axis(aux.reshape(B, -1), sel, axis=1)
+    gi = g.astype(jnp.int32)
+    chs = gi >> 18
+    off = jnp.stack([((gi >> 9) & 511).astype(jnp.float32),
+                     (gi & 511).astype(jnp.float32)], -1) / 255.0 - 1.0
     cy = sel // (NC * W8)
     cx = sel % W8
     y = cy * 8 + chs // 8
     x = cx * 8 + chs % 8
-    return scores, y * W + x, g[..., 1:]
+    return scores, y * W + x, off
 
 
 def _desc_sample_pallas(feats, kpts, valid, H8: int, W8: int):

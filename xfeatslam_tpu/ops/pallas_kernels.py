@@ -185,9 +185,10 @@ def _strip_candidates(l, h, cyi, threshold: float, softmax_temp: float,
     threshold, and excluded from reliability/offsets by the global bounds
     masks.
 
-    Returns (vals, ch, offx, offy) each (S, NC_CAND, W8): per cell and
-    candidate rank, score (-1 for non-survivors and rows past the true
-    image height), channel id, and sub-pixel offsets at that peak."""
+    Returns (vals, aux) each (S, NC_CAND, W8): per cell and candidate
+    rank, score (-1 for non-survivors and rows past the true image
+    height) and the packed (channel, quantized sub-pixel offset) integer
+    (see the packing note below)."""
     S = l.shape[0] - 2
     W8 = l.shape[1]
     neg = jnp.float32(-jnp.inf)
@@ -307,26 +308,41 @@ def _strip_candidates(l, h, cyi, threshold: float, softmax_temp: float,
     offx_d = jnp.clip(sx * inv, -1.0, 1.0)
     offy_d = jnp.clip(sy * inv, -1.0, 1.0)
 
-    # ---- per-cell top-NC_CAND extraction over channels (sublane axis);
-    # see the NC_CAND note for why every survivor is among them ----
-    v = ranked
-    va, ca, oxa, oya = [], [], [], []
+    # ---- pack (channel, quantized offsets) into ONE f32-exact integer:
+    # ch<<18 | qx<<9 | qy with q = round((off+1)*255) in [0,510] (0.004 px
+    # steps — the 3x3 soft-argmax's own noise is ~0.3 px). Max value
+    # 63*2^18 + 510*2^9 + 510 < 2^24, exactly representable in f32. One
+    # packed aux halves the extraction passes below (one masked min
+    # replaces a channel-select plus two masked offset sums) and stage 2
+    # gathers ONE aux row per selected keypoint instead of a 3-wide row
+    # (the aux gather was ~45% of the stage, PERF.md round 5). ----
+    aux_d = (ci.astype(jnp.float32) * 262144.0
+             + jnp.round((offx_d + 1.0) * 255.0) * 512.0
+             + jnp.round((offy_d + 1.0) * 255.0))
+
+    # ---- per-cell top-NC_CAND extraction over channels (sublane axis) on
+    # the S INTERIOR rows (halo rows need computing above — NMS spans into
+    # them — but their candidates are another strip's job); see the
+    # NC_CAND note for why every survivor is among the top-9 ----
+    v = ranked[1:S + 1]
+    aux_i = aux_d[1:S + 1]
+    big = jnp.float32(1.7e7)  # > any packed aux
+    va, aa = [], []
     for r in range(NC_CAND):
-        mval = jnp.max(v, axis=1, keepdims=True)           # (S+2,1,W8)
-        sel1 = jnp.min(jnp.where(v == mval, ci, 64), axis=1, keepdims=True)
-        sel = ci == sel1
-        # emit the S interior rows; local rows 0 and S+1 are halo
-        va.append(mval[1:S + 1, 0, :])
-        ca.append(sel1[1:S + 1, 0, :])
-        oxa.append(jnp.sum(jnp.where(sel, offx_d, 0.0), axis=1)[1:S + 1])
-        oya.append(jnp.sum(jnp.where(sel, offy_d, 0.0), axis=1)[1:S + 1])
-        v = jnp.where(sel, neg, v)
-    return (jnp.stack(va, axis=1), jnp.stack(ca, axis=1),
-            jnp.stack(oxa, axis=1), jnp.stack(oya, axis=1))
+        mval = jnp.max(v, axis=1, keepdims=True)           # (S,1,W8)
+        # ties within a cell resolve to the smallest packed aux = smallest
+        # channel (ch sits in the high bits), matching the previous
+        # min-channel rule bit for bit
+        paux = jnp.min(jnp.where(v == mval, aux_i, big), axis=1,
+                       keepdims=True)
+        va.append(mval[:, 0, :])
+        aa.append(paux[:, 0, :])
+        v = jnp.where((v == mval) & (aux_i == paux), neg, v)
+    return jnp.stack(va, axis=1), jnp.stack(aa, axis=1)
 
 
-def _detect_kernel(logits_ref, heat_ref, vals_ref, ch_ref, offx_ref,
-                   offy_ref, *, threshold: float, softmax_temp: float,
+def _detect_kernel(logits_ref, heat_ref, vals_ref, aux_ref, *,
+                   threshold: float, softmax_temp: float,
                    H8: int, S: int):
     """One IMAGE per grid step; strips run as an in-kernel fori_loop over
     the VMEM-resident (1-row zero-padded) image block. The whole-image
@@ -344,13 +360,10 @@ def _detect_kernel(logits_ref, heat_ref, vals_ref, ch_ref, offx_ref,
         h = heat_ref[0, rows2]
         cyi = (jax.lax.broadcasted_iota(jnp.int32, (S + 2, 1, 1), 0)
                + s * S - 1)
-        va, ca, oxa, oya = _strip_candidates(l, h, cyi, threshold,
-                                             softmax_temp, H8)
+        va, aa = _strip_candidates(l, h, cyi, threshold, softmax_temp, H8)
         rows = pl.ds(s * S, S)
         vals_ref[0, rows] = va
-        ch_ref[0, rows] = ca
-        offx_ref[0, rows] = oxa
-        offy_ref[0, rows] = oya
+        aux_ref[0, rows] = aa
         return carry
 
     lax.fori_loop(0, ns, strip_body, 0)
@@ -363,8 +376,9 @@ def detect_candidates(logits, heatmap, threshold: float = 0.05,
     """Fused detect post-processing on TPU. (B,H8,W8,65) logits +
     (B,H8,W8,1) reliability -> per-cell candidates:
       vals (B,H8,NC,W8) ranking scores (-1 where not an NMS survivor),
-      ch   (B,H8,NC,W8) int32 channel = py*8+px within the cell,
-      offx/offy (B,H8,NC,W8) 3x3 soft-argmax sub-pixel offsets.
+      aux  (B,H8,NC,W8) f32-exact packed int ch<<18 | qx<<9 | qy with
+           ch = py*8+px the channel within the cell and qx/qy the
+           3x3 soft-argmax offsets quantized to (q/255 - 1) px.
     Candidate (b, cy, r, cx) is pixel (cy*8+ch//8, cx*8+ch%8). The caller
     runs the exact top-K over vals.reshape(B,-1) (see detect.py).
 
@@ -385,10 +399,9 @@ def detect_candidates(logits, heatmap, threshold: float = 0.05,
     heat3 = jnp.pad(heat3, ((0, 0), (1, 1 + H8p - H8), (0, 0)))
 
     fsh = jax.ShapeDtypeStruct((B, H8p, NC_CAND, W8), jnp.float32)
-    ish = jax.ShapeDtypeStruct((B, H8p, NC_CAND, W8), jnp.int32)
     spec = pl.BlockSpec((1, H8p, NC_CAND, W8), lambda b: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
-    vals, ch, offx, offy = pl.pallas_call(
+    vals, aux = pl.pallas_call(
         functools.partial(_detect_kernel, threshold=threshold,
                           softmax_temp=softmax_temp, H8=H8, S=S),
         grid=(B,),
@@ -398,20 +411,19 @@ def detect_candidates(logits, heatmap, threshold: float = 0.05,
             pl.BlockSpec((1, H8p + 2, W8), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(spec, spec, spec, spec),
-        out_shape=(fsh, ish, fsh, fsh),
+        out_specs=(spec, spec),
+        out_shape=(fsh, fsh),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=400 * B * H8 * W8 * 64,
             bytes_accessed=(B * H8 * W8 * (65 + 1)
-                            + 4 * B * H8 * NC_CAND * W8) * 4,
+                            + 2 * B * H8 * NC_CAND * W8) * 4,
             transcendentals=B * H8 * W8 * 65,
         ),
     )(logits, heat3)
     if H8p != H8:
-        vals, ch = vals[:, :H8], ch[:, :H8]
-        offx, offy = offx[:, :H8], offy[:, :H8]
-    return vals, ch, offx, offy
+        vals, aux = vals[:, :H8], aux[:, :H8]
+    return vals, aux
 
 
 KPT_TILE = 256
