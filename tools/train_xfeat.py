@@ -200,6 +200,11 @@ def main():
                     help="analytic response the peak teacher distills")
     ap.add_argument("--sigma", type=float, default=0.7,
                     help="peak-teacher Gaussian std (px)")
+    ap.add_argument("--loc-weight", type=float, default=0.0,
+                    help="cross-view localization-agreement loss weight "
+                    "(trains the within-cell soft-argmax peak of view A, "
+                    "warped through the GT correspondence, to coincide "
+                    "with view B's peak — the rep@1px/loc-err objective)")
     ap.add_argument("--aug", action="store_true",
                     help="photometric augmentation of network inputs")
     ap.add_argument("--steps-per-call", type=int, default=16,
@@ -242,7 +247,7 @@ def main():
     else:
         optimizer = optax.adam(args.lr)
     loss_kw = dict(kp_teacher=args.kp_teacher, response=args.response,
-                   sigma=args.sigma)
+                   sigma=args.sigma, loc_weight=args.loc_weight)
     S = max(args.steps_per_call, 1)
     init_fn, run_fn = train.make_pool_trainer(
         mesh, optimizer, steps_per_call=S, augment=args.aug, **loss_kw)
@@ -266,9 +271,11 @@ def main():
                                               idx, sub)
         if call % max(1, 50 // S) == 0:
             jax.block_until_ready(loss)
+            extra = (f" loc={float(aux['loc']):.3f}"
+                     if float(args.loc_weight) > 0 else "")
             print(f"step {step}: loss={float(loss):.4f} "
                   f"nce={float(aux['nce']):.3f} kp={float(aux['kp']):.3f} "
-                  f"rel={float(aux['rel']):.3f} "
+                  f"rel={float(aux['rel']):.3f}{extra} "
                   f"({(time.time()-t0)/max(step+S,1):.3f}s/step)", flush=True)
         if step and args.save_every and step % args.save_every < S:
             wio.save_npz(args.out, jax.device_get(params))

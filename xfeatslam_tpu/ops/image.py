@@ -86,6 +86,39 @@ def sample_bilinear(img, coords_xy, norm_hw):
     )
 
 
+def sample_bilinear_px(img, coords_xy):
+    """Sparse bilinear sampling at EXACT pixel coordinates (value at
+    integer (x, y) is img[y, x]; zero padding out of bounds).
+
+    sample_bilinear above replicates the reference's grid_sample
+    normalization chain — right for descriptor-map parity, but it shifts
+    positions by up to half a pixel near the borders, which corrupts
+    geometric lookups (e.g. sampling a dense correspondence field at a
+    predicted peak in the localization-agreement loss, parallel/train.py).
+    """
+    B, Hs, Ws, C = img.shape
+    px = coords_xy[..., 0]
+    py = coords_xy[..., 1]
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = (px - x0)[..., None]
+    wy = (py - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        inb = (yi >= 0) & (yi < Hs) & (xi >= 0) & (xi < Ws)
+        idx = jnp.clip(yi, 0, Hs - 1) * Ws + jnp.clip(xi, 0, Ws - 1)
+        vals = jnp.take_along_axis(img.reshape(B, Hs * Ws, C),
+                                   idx[..., None], axis=1)
+        return vals * inb[..., None]
+
+    return (gather(y0i, x0i) * (1 - wx) * (1 - wy)
+            + gather(y0i, x0i + 1) * wx * (1 - wy)
+            + gather(y0i + 1, x0i) * (1 - wx) * wy
+            + gather(y0i + 1, x0i + 1) * wx * wy)
+
+
 def sample_nearest(img, coords_xy, norm_hw):
     """Sparse nearest sampling with zero padding (grid_sample parity)."""
     B, Hs, Ws, C = img.shape

@@ -255,7 +255,7 @@ def _norm(f):
 
 def loss_fn(params, batch, temp: float = 0.1, teacher_gain: float = 5.0,
             kp_teacher: str = "contrast", response: str = "contrast5",
-            sigma: float = 0.7, aug_key=None):
+            sigma: float = 0.7, loc_weight: float = 0.0, aug_key=None):
     """Cross-view self-supervised loss over a pair batch (see module doc).
 
     kp_teacher:
@@ -285,7 +285,7 @@ def loss_fn(params, batch, temp: float = 0.1, teacher_gain: float = 5.0,
     else:
         in_a, in_b = img_a, img_b
     feats_a, logits_a, heat_a = xfeat.forward(params, in_a)
-    feats_b, _, _ = xfeat.forward(params, in_b)
+    feats_b, logits_b, _ = xfeat.forward(params, in_b)
 
     # ---- descriptor InfoNCE at ground-truth correspondences -------------
     # A's cell centers in full-res pixels, their correspondence in B
@@ -366,8 +366,67 @@ def loss_fn(params, batch, temp: float = 0.1, teacher_gain: float = 5.0,
         (heat_a.reshape(B, H8 * W8) - agree) ** 2
     )
 
-    return nce + kp_loss + rel_loss, {
-        "nce": nce, "kp": kp_loss, "rel": rel_loss
+    # ---- cross-view localization agreement (loc_weight > 0) -------------
+    # The selection-time sub-pixel position is the within-cell soft-argmax
+    # of the keypoint probabilities (ops/detect.py). Train that position
+    # to be VIEW-CONSISTENT directly: A's soft-argmax peak, warped through
+    # the ground-truth correspondence into B, must coincide with the
+    # soft-argmax peak of the B cell it lands in. This optimizes exactly
+    # the quantity the repeatability gauge measures (loc-err / rep@1px);
+    # the kp teacher above anchors WHICH points peak, this refines WHERE.
+    # Weighted by both cells' keypointness (1 - dustbin) so empty cells
+    # don't drag peaks to cell centers.
+    loc_loss = jnp.float32(0.0)
+    if loc_weight > 0.0:
+        c64 = jnp.arange(64, dtype=jnp.float32)
+        gx64 = (c64 % 8)[None, None, :]
+        gy64 = (c64 // 8)[None, None, :]
+
+        def cell_peaks(logits):
+            pr = jax.nn.softmax(logits, axis=-1)
+            p64 = pr[..., :64].reshape(B, H8 * W8, 64)
+            kpness = jnp.sum(p64, -1)  # 1 - dustbin
+            w_in = p64 / jnp.maximum(kpness[..., None], 1e-6)
+            px = jnp.sum(w_in * gx64, -1)  # within-cell x in [0,7]
+            py = jnp.sum(w_in * gy64, -1)
+            return px, py, kpness
+
+        pax, pay, kp_a = cell_peaks(logits_a)
+        pbx, pby, kp_b = cell_peaks(logits_b)
+        ox = jnp.arange(W8, dtype=jnp.float32)[None, None, :] * 8.0
+        oy = jnp.arange(H8, dtype=jnp.float32)[None, :, None] * 8.0
+        abs_ax = (ox + pax.reshape(B, H8, W8)).reshape(B, H8 * W8)
+        abs_ay = (oy + pay.reshape(B, H8, W8)).reshape(B, H8 * W8)
+        peak_a = jnp.stack([abs_ax, abs_ay], -1)  # (B,N,2) pixels in A
+        # warp A's peak into B through the dense GT correspondence
+        # (exact pixel-space sampling: the grid_sample-parity sampler
+        # shifts by up to 0.5 px near borders — fatal for a loss whose
+        # whole point is sub-pixel agreement)
+        in_b_pos = image_ops.sample_bilinear_px(corr_px, peak_a)
+        v_at_peak = image_ops.sample_bilinear_px(
+            px_valid[..., None].astype(jnp.float32), peak_a
+        )[..., 0] > 0.99
+        v_at_peak &= ((in_b_pos[..., 0] >= 1.0) & (in_b_pos[..., 0] < W - 1)
+                      & (in_b_pos[..., 1] >= 1.0) & (in_b_pos[..., 1] < H - 1))
+        # B cell containing the warped peak; its absolute soft-argmax
+        cbx = jnp.clip((in_b_pos[..., 0] // 8).astype(jnp.int32), 0, W8 - 1)
+        cby = jnp.clip((in_b_pos[..., 1] // 8).astype(jnp.int32), 0, H8 - 1)
+        cell_idx = cby * W8 + cbx
+        pbx_g = jnp.take_along_axis(pbx, cell_idx, axis=1)
+        pby_g = jnp.take_along_axis(pby, cell_idx, axis=1)
+        kpb_g = jnp.take_along_axis(kp_b, cell_idx, axis=1)
+        peak_b = jnp.stack([cbx.astype(jnp.float32) * 8.0 + pbx_g,
+                            cby.astype(jnp.float32) * 8.0 + pby_g], -1)
+        d2 = jnp.sum((peak_b - in_b_pos) ** 2, -1)
+        hub = jnp.where(d2 < 4.0, d2, 4.0 * (jnp.sqrt(d2) - 1.0))  # px^2
+        wgt = (jnp.minimum(kp_a, kpb_g)
+               * v_at_peak.astype(jnp.float32))
+        wgt = jax.lax.stop_gradient(wgt)  # gate, not a shrink-all-mass path
+        loc_loss = (loc_weight * jnp.sum(wgt * hub)
+                    / jnp.maximum(jnp.sum(wgt), 1.0))
+
+    return nce + kp_loss + rel_loss + loc_loss, {
+        "nce": nce, "kp": kp_loss, "rel": rel_loss, "loc": loc_loss
     }
 
 
@@ -467,6 +526,14 @@ def make_pool_trainer(mesh: Mesh, optimizer=None, steps_per_call: int = 16,
             p = optax.apply_updates(p, updates)
             return (p, o), (loss, aux)
 
+        if idx.shape[0] == 1:
+            # steps_per_call=1: a 1-iteration scan still wraps the whole
+            # fwd+bwd in a scan body, which this environment's remote
+            # compile helper can OOM on; the straight-line body is the
+            # same program and compiles leaner.
+            (params, opt_state), (loss, aux) = body(
+                (params, opt_state), (idx[0], keys[0]))
+            return _pin(params), _pin(opt_state), loss, aux
         (params, opt_state), (losses, auxs) = jax.lax.scan(
             body, (params, opt_state), (idx, keys))
         return (_pin(params), _pin(opt_state), jnp.mean(losses),
