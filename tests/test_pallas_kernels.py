@@ -122,6 +122,66 @@ class TestDetectCandidates:
         self._assert_equal(*self._run_pair(rng, H8=16, W8=24, K=150))
 
 
+class TestCandidatesTopkMerge:
+    """The certified shallow/deep merge in detect._candidates_topk must
+    select the same positive-score candidate set as a flat top-k — on
+    the sparse rank structure real frames produce (fast path), on dense
+    adversarial input (certificate overflow -> flat-sort fallback), and
+    on an all-empty frame."""
+
+    def _check(self, vals, aux, k, W8):
+        import jax
+        from jax import lax
+
+        from xfeatslam_tpu.ops import detect
+
+        B, H8, NC, _ = vals.shape
+        s1, i1, _ = jax.jit(
+            lambda v, a: detect._candidates_topk(v, a, k, W8))(vals, aux)
+        sref, selref = lax.top_k(jnp.asarray(vals).reshape(B, -1), k)
+        vpos = np.asarray(sref) > 0
+        g = jnp.take_along_axis(jnp.asarray(aux).reshape(B, -1), selref,
+                                axis=1).astype(jnp.int32)
+        chs = g >> 18
+        cy = selref // (NC * W8)
+        cx = selref % W8
+        iref = (cy * 8 + chs // 8) * (W8 * 8) + (cx * 8 + chs % 8)
+        np.testing.assert_array_equal(np.asarray(s1) > 0, vpos)
+        np.testing.assert_array_equal(np.asarray(s1)[vpos],
+                                      np.asarray(sref)[vpos])
+        np.testing.assert_array_equal(np.asarray(i1)[vpos],
+                                      np.asarray(iref)[vpos])
+
+    def _aux(self, rng, shape):
+        return rng.integers(0, 2 ** 26, shape).astype(np.float32)
+
+    def test_sparse_fast_path(self, rng):
+        B, H8, NC, W8 = 3, 60, 9, 80
+        vals = np.full((B, H8, NC, W8), -1.0, np.float32)
+        for b in range(B):
+            # measured real-frame profile: rank 0 ~600, 1 ~90, 2-3 ~5
+            for r, n in [(0, 700), (1, 90), (2, 5), (3, 1)]:
+                cy = rng.integers(0, H8, n)
+                cx = rng.integers(0, W8, n)
+                vals[b, cy, r, cx] = rng.uniform(0.01, 1.0, n)
+            vals[b] = -np.sort(-vals[b], axis=1)  # per-cell rank order
+        self._check(jnp.asarray(vals), jnp.asarray(self._aux(rng, vals.shape)),
+                    1000, W8)
+
+    def test_dense_fallback(self, rng):
+        B, H8, NC, W8 = 2, 60, 9, 80
+        vals = rng.standard_normal((B, H8, NC, W8)).astype(np.float32)
+        vals = -np.sort(-vals, axis=2)
+        self._check(jnp.asarray(vals), jnp.asarray(self._aux(rng, vals.shape)),
+                    1000, W8)
+
+    def test_empty_frame(self, rng):
+        B, H8, NC, W8 = 2, 30, 9, 40
+        vals = np.full((B, H8, NC, W8), -1.0, np.float32)
+        self._check(jnp.asarray(vals), jnp.asarray(self._aux(rng, vals.shape)),
+                    500, W8)
+
+
 class TestBilinearDescSample:
     def test_matches_dense_normalize_and_sample(self, rng):
         """Kernel (normalize -> one-hot matmul gather -> renormalize) vs

@@ -386,23 +386,59 @@ def _candidates_topk(vals, aux, k: int, W8: int):
     gathered row per keypoint recovers channel and sub-pixel offsets
     (off = q/255 - 1), vs the 3-wide row gather it replaces.
 
-    The flat ``lax.top_k`` here lowers to a full sort on TPU (measured
-    11.2 ms at batch 256, n=43200, k=1000 — the most expensive single op
-    of the extraction pipeline). A rank-decomposition that exploits the
-    kernel's per-cell descending order (rank-0 top-k establishes a
-    threshold, deep ranks contribute a bounded remainder, lax.cond
-    fallback for overflow) was built and measured: its fast path costs
-    the same as the flat sort (the deep-slice top-128 alone is 6.6 ms;
-    n, not k, is what the sort price tracks) and the fallback doubles
-    it, so the flat exact sort stands. jax.lax.approx_max_k (TPU
-    PartialReduce) is 4.95 ms at recall 0.95 but drops ~5% of the
-    weakest selections; exactness is kept since selection identity is
-    what the stability tests and the reference contract pin down.
+    The flat ``lax.top_k`` lowers to a full sort on TPU (11.2 ms at
+    batch 256, n=43200, k=1000 — the most expensive single op of the
+    extraction pipeline), and its price tracks n, not k. On real frames
+    the candidate tensor is SPARSE in the rank axis: rank slices hold
+    the per-cell NMS survivors in descending order, and measured over
+    rendered sequences rank 0 holds ~600 positive scores, rank 1 ~90,
+    ranks 2-3 ~5, ranks 4+ exactly zero (a 5x5-NMS 8x8 cell needs a
+    distance-3 survivor lattice to fill them). So: sort only the first
+    SHALLOW rank slices (n=SHALLOW*4800) merged with the top-DEEP_K of
+    the deep remainder, and certify exactness in-graph — selectable
+    candidates downstream are strictly-positive scores (valid = score >
+    0, select_keypoints), so if the deep slices hold <= DEEP_K positive
+    scores (measured: <= ~6, certified per batch) the merge provably
+    contains every selectable candidate of the flat sort; a lax.cond
+    falls back to the flat sort otherwise. Same selected set up to
+    equal-score ties (the pre-existing caveat of the cell layout — tie
+    order across the shallow/deep seam differs from flat order).
+
+    Alternatives measured and rejected: a threshold-certified rank
+    decomposition (T0 = rank-0 k-th score) — defeated by the -1 fill
+    values that dominate real frames; jax.lax.approx_max_k (TPU
+    PartialReduce, 4.95 ms at recall 0.95) — drops ~5% of tail
+    selections, and selection identity is what the stability tests and
+    the reference contract pin down.
 
     Returns (scores (B,k), flat full-res indices (B,k), offsets (B,k,2))."""
     B, H8, NC, _ = vals.shape
     W = W8 * 8
-    scores, sel = lax.top_k(vals.reshape(B, -1), k)
+    SHALLOW, DEEP_K = 2, 64
+    if NC > SHALLOW and k <= SHALLOW * H8 * W8:
+        ncells = H8 * W8
+        ndeep = NC - SHALLOW
+        shallow = vals[:, :, :SHALLOW, :].reshape(B, SHALLOW * ncells)
+        deep = vals[:, :, SHALLOW:, :].reshape(B, ndeep * ncells)
+        c_deep = jnp.sum(deep > 0.0, axis=1)
+        sd, idd = lax.top_k(deep, DEEP_K)
+        # map both index spaces back to the flat (cy*NC + r)*W8 + cx layout
+        i_sh = jnp.arange(SHALLOW * ncells, dtype=jnp.int32)
+        f_sh = ((i_sh // (SHALLOW * W8)) * NC
+                + (i_sh % (SHALLOW * W8)) // W8) * W8 + i_sh % W8
+        f_dp = ((idd // (ndeep * W8)) * NC + SHALLOW
+                + (idd % (ndeep * W8)) // W8) * W8 + idd % W8
+        sm = jnp.concatenate([shallow, sd], axis=1)
+        fm = jnp.concatenate([jnp.broadcast_to(f_sh, (B,) + f_sh.shape),
+                              f_dp], axis=1)
+        sc2, sel2 = lax.top_k(sm, k)
+        scores, sel = lax.cond(
+            jnp.all(c_deep <= DEEP_K),
+            lambda: (sc2, jnp.take_along_axis(fm, sel2, axis=1)),
+            lambda: tuple(lax.top_k(vals.reshape(B, -1), k)),
+        )
+    else:
+        scores, sel = lax.top_k(vals.reshape(B, -1), k)
     g = jnp.take_along_axis(aux.reshape(B, -1), sel, axis=1)
     gi = g.astype(jnp.int32)
     chs = gi >> 18
