@@ -121,6 +121,37 @@ class TestDetectCandidates:
     def test_bitwise_parity_single_strip(self, rng):
         self._assert_equal(*self._run_pair(rng, H8=16, W8=24, K=150))
 
+    def test_bitwise_parity_sparse_fast_path(self, rng):
+        # Random logits overflow the NC_FAST=5 candidate slots (measured:
+        # a handful of rank-4 survivors) and so exercise the full-kernel
+        # cond branch; real frames never do. Sparse isolated peaks pin
+        # the fast branch: <= 2 survivors per cell, slot 4 stays empty.
+        from xfeatslam_tpu.ops import detect
+
+        H8, W8, K, B = 30, 40, 300, 2
+        logits = np.full((B, H8, W8, 65), -8.0, np.float32)
+        for b in range(B):
+            cy = rng.integers(0, H8, 250)
+            cx = rng.integers(0, W8, 250)
+            ch = rng.integers(0, 64, 250)
+            logits[b, cy, cx, ch] = rng.uniform(4.0, 9.0, 250)
+        feats = jnp.asarray(
+            rng.standard_normal((B, H8, W8, 64)).astype(np.float32))
+        heat = jnp.asarray(rng.uniform(size=(B, H8, W8, 1)).astype(np.float32))
+        logits = jnp.asarray(logits)
+        # certify this input takes the fast branch
+        import xfeatslam_tpu.ops.pallas_kernels as pk
+        vals, _ = pk.detect_candidates(logits, heat, interpret=True, nc=5)
+        assert not (np.asarray(vals)[:, :, 4, :] > 0).any()
+        try:
+            detect._FORCE_PALLAS = False
+            ref = detect.select_keypoints(feats, logits, heat, K)
+            detect._FORCE_PALLAS = True
+            got = detect.select_keypoints(feats, logits, heat, K)
+        finally:
+            detect._FORCE_PALLAS = False
+        self._assert_equal(ref, got)
+
 
 class TestCandidatesTopkMerge:
     """The certified shallow/deep merge in detect._candidates_topk must

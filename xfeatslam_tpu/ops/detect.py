@@ -300,10 +300,30 @@ def select_keypoints(feats, logits, heatmap, num_keypoints: int,
     # random gathers per image lower poorly on TPU.)
     if _use_pallas():
         from . import pallas_kernels as pk
+        interp = jax.default_backend() != "tpu"
+        # The per-cell extraction loop prices by candidate slots, and
+        # real frames never fill slot 4 (ranks 4+ measured exactly zero
+        # over rendered sequences — a 5th 5x5-NMS survivor needs a
+        # near-perfect distance-3 lattice in one 8x8 cell). Run the
+        # NC_FAST-slot kernel, certify in-graph that slot NC_FAST-1 is
+        # empty (a 5th survivor would sit there, and only then could a
+        # 6th exist), and lax.cond into the full 9-slot kernel on
+        # overflow — exact either way.
+        NC_FAST = 5
         vals, aux = pk.detect_candidates(
             logits, heatmap, threshold, softmax_temp,
-            interpret=jax.default_backend() != "tpu")
-        scores, idx, off = _candidates_topk(vals, aux, num_keypoints, W8)
+            interpret=interp, nc=NC_FAST)
+
+        def full_path():
+            v9, a9 = pk.detect_candidates(
+                logits, heatmap, threshold, softmax_temp, interpret=interp)
+            return _candidates_topk(v9, a9, num_keypoints, W8)
+
+        scores, idx, off = lax.cond(
+            jnp.any(vals[:, :, NC_FAST - 1, :] > 0.0),
+            full_path,
+            lambda: _candidates_topk(vals, aux, num_keypoints, W8),
+        )
         kpts = jnp.stack([(idx % W).astype(jnp.float32),
                           (idx // W).astype(jnp.float32)], axis=-1)
         valid = scores > 0.0

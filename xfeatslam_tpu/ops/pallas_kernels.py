@@ -162,7 +162,7 @@ STRIP_ROWS = 16
 
 
 def _strip_candidates(l, h, cyi, threshold: float, softmax_temp: float,
-                      H8: int):
+                      H8: int, nc: int = NC_CAND):
     """One cell-row strip (with 1-row halos) of the detect post-processing
     in VMEM, transposed cell layout (S+2, 64ch, W8): softmax(65) -> 5x5
     NMS -> bilinear reliability -> ranked score -> 3x3 soft-argmax offsets
@@ -328,7 +328,7 @@ def _strip_candidates(l, h, cyi, threshold: float, softmax_temp: float,
     aux_i = aux_d[1:S + 1]
     big = jnp.float32(1.7e7)  # > any packed aux
     va, aa = [], []
-    for r in range(NC_CAND):
+    for r in range(nc):
         mval = jnp.max(v, axis=1, keepdims=True)           # (S,1,W8)
         # ties within a cell resolve to the smallest packed aux = smallest
         # channel (ch sits in the high bits), matching the previous
@@ -343,7 +343,7 @@ def _strip_candidates(l, h, cyi, threshold: float, softmax_temp: float,
 
 def _detect_kernel(logits_ref, heat_ref, vals_ref, aux_ref, *,
                    threshold: float, softmax_temp: float,
-                   H8: int, S: int):
+                   H8: int, S: int, nc: int):
     """One IMAGE per grid step; strips run as an in-kernel fori_loop over
     the VMEM-resident (1-row zero-padded) image block. The whole-image
     single-pass kernel oversubscribes scoped VMEM by ~9 MB at 640x480 —
@@ -360,7 +360,8 @@ def _detect_kernel(logits_ref, heat_ref, vals_ref, aux_ref, *,
         h = heat_ref[0, rows2]
         cyi = (jax.lax.broadcasted_iota(jnp.int32, (S + 2, 1, 1), 0)
                + s * S - 1)
-        va, aa = _strip_candidates(l, h, cyi, threshold, softmax_temp, H8)
+        va, aa = _strip_candidates(l, h, cyi, threshold, softmax_temp,
+                                   H8, nc)
         rows = pl.ds(s * S, S)
         vals_ref[0, rows] = va
         aux_ref[0, rows] = aa
@@ -370,9 +371,10 @@ def _detect_kernel(logits_ref, heat_ref, vals_ref, aux_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "threshold", "softmax_temp", "interpret"))
+    "threshold", "softmax_temp", "interpret", "nc"))
 def detect_candidates(logits, heatmap, threshold: float = 0.05,
-                      softmax_temp: float = 1.0, interpret: bool = False):
+                      softmax_temp: float = 1.0, interpret: bool = False,
+                      nc: int = NC_CAND):
     """Fused detect post-processing on TPU. (B,H8,W8,65) logits +
     (B,H8,W8,1) reliability -> per-cell candidates:
       vals (B,H8,NC,W8) ranking scores (-1 where not an NMS survivor),
@@ -398,12 +400,12 @@ def detect_candidates(logits, heatmap, threshold: float = 0.05,
     logits = jnp.pad(logits, ((0, 0), (1, 1 + H8p - H8), (0, 0), (0, 0)))
     heat3 = jnp.pad(heat3, ((0, 0), (1, 1 + H8p - H8), (0, 0)))
 
-    fsh = jax.ShapeDtypeStruct((B, H8p, NC_CAND, W8), jnp.float32)
-    spec = pl.BlockSpec((1, H8p, NC_CAND, W8), lambda b: (b, 0, 0, 0),
+    fsh = jax.ShapeDtypeStruct((B, H8p, nc, W8), jnp.float32)
+    spec = pl.BlockSpec((1, H8p, nc, W8), lambda b: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     vals, aux = pl.pallas_call(
         functools.partial(_detect_kernel, threshold=threshold,
-                          softmax_temp=softmax_temp, H8=H8, S=S),
+                          softmax_temp=softmax_temp, H8=H8, S=S, nc=nc),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, H8p + 2, W8, 65), lambda b: (b, 0, 0, 0),
@@ -417,7 +419,7 @@ def detect_candidates(logits, heatmap, threshold: float = 0.05,
         cost_estimate=pl.CostEstimate(
             flops=400 * B * H8 * W8 * 64,
             bytes_accessed=(B * H8 * W8 * (65 + 1)
-                            + 2 * B * H8 * NC_CAND * W8) * 4,
+                            + 2 * B * H8 * nc * W8) * 4,
             transcendentals=B * H8 * W8 * 65,
         ),
     )(logits, heat3)
