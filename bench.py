@@ -49,6 +49,26 @@ def make_images(n):
     return np.stack(imgs)[..., None]
 
 
+def _bench_params():
+    """The shipped fine-tuned weights, falling back to random init.
+
+    Random-init weights produce a near-uniform keypoint heatmap whose NMS
+    survivors densely fill the per-cell candidate slots, which disables
+    the certified sparse fast paths of the detect stage (5-slot
+    extraction + shallow/deep top-k merge, ops/detect.py) — the bench
+    would then time the overflow fallback that real frames never take.
+    Trained weights give the candidate sparsity production sees."""
+    from xfeatslam_tpu.models import weights as wio
+    from xfeatslam_tpu.models import xfeat
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", "xfeat_synthetic.npz")
+    if os.path.exists(path):
+        return wio.load_npz(path)
+    import jax
+    return xfeat.init_params(jax.random.PRNGKey(0))
+
+
 def bench_jax(images):
     """Device-side throughput of the batched extract+match pipeline.
 
@@ -67,7 +87,7 @@ def bench_jax(images):
 
     platform = jax.devices()[0].platform
     compute_dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
-    params = xfeat.init_params(jax.random.PRNGKey(0))
+    params = _bench_params()
 
     def pipeline(images):
         out = batched.extract_batch(params, images, K, compute_dtype)

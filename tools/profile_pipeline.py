@@ -134,9 +134,23 @@ def main():
     B, K = args.batch, args.kpts
     print(f"platform={platform} batch={B} hw={H}x{W} K={K} dtype={dt.__name__}")
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((B, H, W, 1), np.float32))
-    params = xfeat.init_params(jax.random.PRNGKey(0))
+    if (H, W) == (480, 640):
+        import bench
+        x = jnp.asarray(bench.make_images(B))  # the bench workload
+    else:
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((B, H, W, 1), np.float32))
+    # shipped weights, not random init: the detect stage's certified
+    # sparse fast paths key on the candidate sparsity trained weights
+    # produce (see bench._bench_params); random weights time the
+    # overflow fallback instead
+    wpath = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         "weights", "xfeat_synthetic.npz")
+    if os.path.exists(wpath):
+        from xfeatslam_tpu.models import weights as wio
+        params = wio.load_npz(wpath)
+    else:
+        params = xfeat.init_params(jax.random.PRNGKey(0))
 
     fwd = jax.jit(lambda im: xfeat.forward(params, im, compute_dtype=dt))
     t_fwd, (feats, logits, heat) = timeit(fwd, x)
